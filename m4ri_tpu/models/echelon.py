@@ -1,0 +1,81 @@
+"""(Reduced) row echelon form, rank, inversion.
+
+Reference analogue: brilliantrussian.c `_mzd_echelonize_m4ri` (Gray-code
+M4RI elimination, O(n^3/log n)) and echelonform.c dispatch.  The TPU-native
+engine reuses the panel factorization of models/ple.py (same canonical pivot
+order, so the echelon form matches the reference bit-for-bit — RREF is
+unique over GF(2) anyway) and computes:
+
+- REF directly from the factorization (rows 0..r-1 are the echelon rows);
+- RREF as ``(U restricted to pivot columns)^{-1} @ U`` — one triangular
+  inversion (log-depth MXU products) plus one big MXU multiply, instead of
+  the reference's sequential table-driven upward elimination;
+- inversion as the right half of RREF([A | I]) (reference: mzd_inv_m4ri =
+  RREF of [A|I], brilliantrussian.c:971-997).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.bitmatrix import (BitMatrix, concat, identity, mask_padding,
+                              submatrix, width_for)
+from ..ops.mul import pack_bits, unpack_bits
+from .ple import block_factor
+from .triangular import trsm_upper_left
+
+__all__ = ["echelonize", "rank", "invert"]
+
+
+def _rref_from_ref(data, q, r, m: int, n: int):
+    """Top rows of REF -> RREF rows via U_rr^{-1} @ U."""
+    rmax = min(m, n)
+    top = data[:rmax]
+    bits = unpack_bits(top, jnp.uint8)[:, :n]  # (rmax, n)
+    pivcols = q[:rmax]
+    urr = bits[:, pivcols]  # (rmax, rmax) upper triangular, unit diag (i<r)
+    k = jnp.arange(rmax, dtype=jnp.int32)
+    urr = urr | ((k[:, None] == k[None, :]) & (k[:, None] >= r)).astype(
+        jnp.uint8)
+    u_mat = BitMatrix(pack_bits(urr), rmax)
+    x = trsm_upper_left(u_mat, BitMatrix(top, n))
+    out = x.data
+    if m > rmax:
+        out = jnp.concatenate(
+            [out, jnp.zeros((m - rmax, width_for(n)), jnp.uint32)], axis=0)
+    return out
+
+
+def echelonize(a: BitMatrix, full: bool = True, nb: int | None = None):
+    """Row echelon form (reference API: mzd_echelonize, echelonform.c:30;
+    full=True gives the reduced form).  Returns (matrix, rank)."""
+    data, _, q, r = block_factor(a, preserve_l=False, nb=nb)
+    if not full:
+        return mask_padding(BitMatrix(data, a.ncols)), r
+    out = _rref_from_ref(data, q, r, a.nrows, a.ncols)
+    return mask_padding(BitMatrix(out, a.ncols)), r
+
+
+def echelonize_with_pivots(a: BitMatrix, nb: int | None = None):
+    """RREF plus pivot-column swap array (used by kernel computation)."""
+    data, _, q, r = block_factor(a, preserve_l=False, nb=nb)
+    out = _rref_from_ref(data, q, r, a.nrows, a.ncols)
+    return mask_padding(BitMatrix(out, a.ncols)), q, r
+
+
+def rank(a: BitMatrix, nb: int | None = None):
+    _, _, _, r = block_factor(a, preserve_l=False, nb=nb)
+    return r
+
+
+def invert(a: BitMatrix, nb: int | None = None):
+    """A^{-1} via RREF of [A | I] (reference: mzd_inv_m4ri).  Returns
+    (inverse, rank); the inverse is valid iff rank == n."""
+    n = a.ncols
+    assert a.nrows == n, "inversion requires a square matrix"
+    aug = concat(a, identity(n))
+    rref, q, r = echelonize_with_pivots(aug, nb=nb)
+    # rank of A itself = pivots that fall in the left block
+    k = jnp.arange(min(aug.nrows, aug.ncols), dtype=jnp.int32)
+    r_a = jnp.sum(((k < r) & (q[: k.shape[0]] < n)).astype(jnp.int32))
+    return submatrix(rref, 0, n, n, 2 * n), r_a

@@ -1,0 +1,202 @@
+"""Blocked PLE / PLUQ factorization over GF(2).
+
+Reference analogue: ple.c (block-recursive PLE), ple_russian.c (MMPF
+Gray-code basecase).  The reference's design is a cache-driven recursion with
+a sequential Gray-table basecase; the TPU-native design is a *panel
+factorization with MXU Schur updates*:
+
+- The matrix is swept in static column panels of width NB.  Within a panel,
+  a fori_loop performs the canonical pivot hunt (columns left to right, first
+  row >= rank with a 1 — the same pivot order as the reference
+  `_mzd_ple_naive`, ple.c:223-273, so P/Q are reproduced exactly) using
+  branchless masked vector ops over all rows.
+- The panel's unit-lower transform L11 is inverted with the nilpotent series
+  (log2(NB) small MXU products) instead of sequential substitution, giving
+  the panel's U rows in one multiply; the trailing Schur update is a single
+  large GF(2) MXU product (ops/mul.py).  This keeps the O(n^3) work on the
+  systolic array and leaves only O(n) cheap scalar steps sequential.
+- Like the reference, the in-place result preserves L in the pivot columns
+  (elimination touches only columns right of the pivot, cf.
+  `mzd_row_add_offset(A, l, row, j+1)` in ple.c:245), then `_compress_l`
+  moves L columns to the left (reference: ple.c:259-268, mzp.c:294).
+
+Rank deficiency is handled with masks: shapes stay static, the rank is a
+traced scalar, and padded rows/columns are zero so they can never pivot.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.bitmatrix import BitMatrix, mask_padding
+from ..ops.mul import mul_packed_data, pack_bits, unpack_bits
+from ..utils.config import WORD_BITS, get_config
+
+__all__ = ["ple", "pluq", "block_factor"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n", "nb", "preserve_l"))
+def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool):
+    nbw = nb // WORD_BITS
+    m_pad = _round_up(m, nb) + nb
+    n_pad = _round_up(n, nb)
+    w_pad = n_pad // WORD_BITS
+    n_panels = n_pad // nb
+
+    A = jnp.zeros((m_pad, w_pad), jnp.uint32)
+    A = A.at[: data.shape[0], : data.shape[1]].set(data)
+    P = jnp.arange(m_pad, dtype=jnp.int32)
+    Q = jnp.arange(n_pad, dtype=jnp.int32)
+    ridx = jnp.arange(m_pad, dtype=jnp.int32)
+    eye_nb = jnp.eye(nb, dtype=jnp.int8)
+    widx = jnp.arange(w_pad, dtype=jnp.int32)
+    jrow = jnp.arange(nb, dtype=jnp.int32)
+
+    def panel(carry, t):
+        A, P, Q, r = carry
+        r_in = r
+        c0w = t * nbw
+        Apanel = lax.dynamic_slice(A, (0, c0w), (m_pad, nbw))
+        Lp = jnp.zeros((m_pad, nb), jnp.uint8)
+        rowperm = jnp.arange(m_pad, dtype=jnp.int32)
+
+        def colstep(j, st):
+            Apanel, Lp, rowperm, P, Q, r = st
+            wloc = j // WORD_BITS
+            sh = jnp.uint32(j % WORD_BITS)
+            col = (jnp.take(Apanel, wloc, axis=1) >> sh) & 1
+            active = (col == 1) & (ridx >= r) & (ridx < m)
+            found = jnp.any(active)
+            piv = jnp.argmax(active).astype(jnp.int32)
+            rs = jnp.minimum(r, m_pad - 1)
+            ps = jnp.where(found, piv, rs)
+
+            def swap2(x):
+                xr, xp = x[rs], x[ps]
+                return x.at[rs].set(xp).at[ps].set(xr)
+
+            Apanel = swap2(Apanel)
+            Lp = swap2(Lp)
+            rowperm = swap2(rowperm)
+            col = swap2(col)
+            P = P.at[rs].set(jnp.where(found, ps, P[rs]))
+            c_glob = t * nb + j
+            Q = Q.at[rs].set(jnp.where(found, c_glob, Q[rs]))
+            pivrow = Apanel[rs]
+            if preserve_l:
+                # keep columns <= j intact (reference: row_add from col j+1)
+                gt = ~(((jnp.uint32(1) << sh) << 1) - 1)  # bits > sh
+                wmask = jnp.where(
+                    jnp.arange(nbw) > wloc, jnp.uint32(0xFFFFFFFF),
+                    jnp.where(jnp.arange(nbw) == wloc, gt, jnp.uint32(0)))
+                elim_row = pivrow & wmask
+            else:
+                elim_row = pivrow
+            elim = (col == 1) & (ridx > r) & found
+            em = elim.astype(jnp.uint32)
+            Apanel = Apanel ^ (em[:, None] * elim_row[None, :])
+            Lp = lax.dynamic_update_slice(
+                Lp, elim.astype(jnp.uint8)[:, None], (0, r - r_in))
+            r = r + found.astype(jnp.int32)
+            return (Apanel, Lp, rowperm, P, Q, r)
+
+        Apanel, Lp, rowperm, P, Q, r = lax.fori_loop(
+            0, nb, colstep, (Apanel, Lp, rowperm, P, Q, r))
+
+        A = A[rowperm]
+        A = lax.dynamic_update_slice(A, Apanel, (0, c0w))
+
+        # --- U rows of this panel via nilpotent inversion of L11 ---
+        rank_panel = r - r_in
+        l11 = lax.dynamic_slice(Lp, (r_in, 0), (nb, nb)).astype(jnp.int8)
+        s = eye_nb ^ l11
+        p = l11
+        steps = max(0, (nb - 1).bit_length() - 1)
+        for _ in range(steps):
+            p = (lax.dot_general(p, p, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+                 & 1).astype(jnp.int8)
+            s = s ^ (lax.dot_general(p, s, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                     & 1).astype(jnp.int8)
+        a_block = lax.dynamic_slice(A, (r_in, 0), (nb, w_pad))
+        au = unpack_bits(a_block, jnp.int8)
+        u = (lax.dot_general(s, au, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32) & 1)
+        u = u * (jrow < rank_panel)[:, None]
+        up = pack_bits(u)
+        # only trailing columns take the Schur update
+        up = up * (widx >= (t + 1) * nbw)[None, :].astype(jnp.uint32)
+
+        # --- Schur update: A ^= Lp @ U (MXU product) ---
+        lp_packed = pack_bits(Lp)
+        delta = mul_packed_data(lp_packed, up)
+        A = A ^ delta
+        return (A, P, Q, r), None
+
+    (A, P, Q, r), _ = lax.scan(
+        panel, (A, P, Q, jnp.int32(0)), jnp.arange(n_panels, dtype=jnp.int32))
+    return A[:m, : data.shape[1]], P[:m], Q[:n], r
+
+
+def block_factor(a: BitMatrix, preserve_l: bool, nb: int | None = None):
+    """Shared panel factorization.  Returns (data, P, Q, rank) where data is
+    the in-place pre-compress layout: rows 0..r-1 are the echelon rows E
+    (pivot i at column Q[i]); if preserve_l, the L multipliers are preserved
+    in the pivot columns below each pivot (reference pre-compress layout)."""
+    if nb is None:
+        nb = get_config().panel_width
+    nb = max(WORD_BITS, _round_up(min(nb, max(WORD_BITS, a.ncols)), WORD_BITS))
+    data, p, q, r = _block_factor_impl(
+        a.data, a.nrows, a.ncols, nb, preserve_l)
+    return data, p, q, r
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n"))
+def _compress_l_impl(data, q, r, m: int, n: int):
+    """Move L columns into 0..r-1 (reference: _mzd_ple_naive compression,
+    ple.c:259-268 — for j < r: col_swap_in_rows(A, Q[j], j, rows j..m))."""
+    ridx = jnp.arange(m, dtype=jnp.int32)
+
+    def body(j, data):
+        a = q[j]
+        b = jnp.int32(j)
+        wa, sa = a // WORD_BITS, (a % WORD_BITS).astype(jnp.uint32)
+        wb, sb = b // WORD_BITS, (b % WORD_BITS).astype(jnp.uint32)
+        bits_a = (data[:, wa] >> sa) & 1
+        bits_b = (data[:, wb] >> sb) & 1
+        act = ((ridx >= b) & (j < r)).astype(jnp.uint32)
+        diff = (bits_a ^ bits_b) * act
+        data = data.at[:, wa].set(data[:, wa] ^ (diff << sa))
+        data = data.at[:, wb].set(data[:, wb] ^ (diff << sb))
+        return data
+
+    return lax.fori_loop(0, min(m, n), body, data)
+
+
+def ple(a: BitMatrix, nb: int | None = None):
+    """PLE decomposition (reference API: mzd_ple, ple.c:33).
+
+    Returns (M, P, Q, rank): M holds L (unit lower, columns 0..r-1,
+    compressed) and S=E in place exactly like the reference; P, Q are
+    LAPACK-style swap arrays (mzp_t format)."""
+    data, p, q, r = block_factor(a, preserve_l=True, nb=nb)
+    data = _compress_l_impl(data, q, r, a.nrows, a.ncols)
+    return mask_padding(BitMatrix(data, a.ncols)), p, q, r
+
+
+def pluq(a: BitMatrix, nb: int | None = None):
+    """PLUQ decomposition (reference API: mzd_pluq = _mzd_ple +
+    mzd_apply_p_right_trans_tri, ple.c:50-60)."""
+    from ..core.permutation import apply_p_right_trans_tri
+    m, p, q, r = ple(a, nb=nb)
+    m = apply_p_right_trans_tri(m, q)
+    return m, p, q, r

@@ -1,0 +1,98 @@
+"""PLE/PLUQ tests (reference: tests/test_ple.c check_ple + test_pluq.c).
+
+check_ple recipe (test_ple.c:6-43): run PLE, apply Q^T on the triangular
+region, read L and E out of the in-place matrix, then verify
+P-rowswapped Q^T-colswapped A == L @ E over GF(2)."""
+
+import numpy as np
+import pytest
+
+import m4ri_tpu as m4
+from m4ri_tpu.core.permutation import (apply_p_left, apply_p_right_trans,
+                                       apply_p_right_trans_tri)
+from m4ri_tpu.models.ple import ple, pluq
+
+import oracle
+from conftest import random_dense
+
+
+def check_ple(a_np):
+    m, n = a_np.shape
+    A = m4.from_numpy(a_np)
+    M, P, Q, r = ple(A)
+    r = int(r)
+    assert r == oracle.rank(a_np), (r, oracle.rank(a_np))
+    M2 = apply_p_right_trans_tri(M, Q)
+    Md = m4.to_numpy(M2)
+
+    L = np.zeros((m, m), np.uint8)
+    E = np.zeros((m, n), np.uint8)
+    for i in range(r):
+        L[i, :i] = Md[i, :i]
+        E[i, i + 1 :] = Md[i, i + 1 :]
+        L[i, i] = 1
+        E[i, i] = 1
+    L[r:m, :r] = Md[r:m, :r]
+
+    Acopy = apply_p_left(m4.from_numpy(a_np), P)
+    Acopy = apply_p_right_trans(Acopy, Q)
+    lhs = m4.to_numpy(Acopy)
+    rhs = (L.astype(np.int64) @ E.astype(np.int64)) % 2
+    np.testing.assert_array_equal(lhs, rhs.astype(np.uint8))
+
+
+SIZES = [(2, 4), (7, 7), (17, 16), (32, 32), (37, 29), (64, 64), (64, 128),
+         (97, 65), (128, 128), (129, 257), (200, 77), (256, 256)]
+
+
+@pytest.mark.parametrize("m,n", SIZES)
+def test_ple_random(rng, m, n):
+    check_ple(random_dense(rng, m, n))
+
+
+@pytest.mark.parametrize("m,n", [(64, 64), (128, 100), (100, 128)])
+def test_ple_low_rank(rng, m, n):
+    k = min(m, n) // 4
+    u = random_dense(rng, m, k)
+    v = random_dense(rng, k, n)
+    check_ple(oracle.mul(u, v).astype(np.uint8))
+
+
+def test_ple_strings():
+    # string cases in the spirit of test_ple.c:142-148
+    cases = [
+        (2, 4, "1001110100111101"[:8]),
+        (4, 4, "1000010000100001"),
+        (4, 4, "0000000000000000"),
+        (3, 5, "110010101101011"),
+    ]
+    for m, n, s in cases:
+        a = np.array([int(c) for c in s], np.uint8).reshape(m, n)
+        check_ple(a)
+
+
+def test_ple_zero_and_identity():
+    check_ple(np.zeros((8, 8), np.uint8))
+    check_ple(np.eye(8, dtype=np.uint8))
+    check_ple(np.ones((6, 9), np.uint8))
+
+
+@pytest.mark.parametrize("m,n", [(64, 64), (96, 64), (63, 100)])
+def test_pluq_reconstruction(rng, m, n):
+    """PLUQ: in-place result is L (strict lower) + U (upper); same
+    reconstruction as check_ple since mzd_pluq = ple + tri-apply."""
+    a_np = random_dense(rng, m, n)
+    A = m4.from_numpy(a_np)
+    M, P, Q, r = pluq(A)
+    r = int(r)
+    Md = m4.to_numpy(M)
+    L = np.zeros((m, max(r, 1)), np.uint8)
+    for j in range(r):
+        L[j + 1 :, j] = Md[j + 1 :, j]
+        L[j, j] = 1
+    U = np.triu(Md)[:r]
+    Acopy = apply_p_left(m4.from_numpy(a_np), P)
+    Acopy = apply_p_right_trans(Acopy, Q)
+    lhs = m4.to_numpy(Acopy)
+    rhs = (L.astype(np.int64) @ U.astype(np.int64)) % 2 if r else np.zeros((m, n))
+    np.testing.assert_array_equal(lhs, rhs.astype(np.uint8))
