@@ -1,0 +1,62 @@
+"""GF(2) multiply benchmark (reference: bench/bench_multiplication.c —
+`bench_multiplication n [cutoff]`).
+
+Usage: python benches/bench_multiplication.py [n] [engine]
+  engine in {mxu, m4rm, strassen, naive}
+"""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import functools
+
+from harness import emit, run_marginal
+
+REF_4096_S = 0.03943  # reference bench_multiplication 4096 on host CPU
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    engine = sys.argv[2] if len(sys.argv) > 2 else "mxu"
+
+    import jax
+    import jax.numpy as jnp
+    from m4ri_tpu.ops.mul import mul_packed_data
+    from m4ri_tpu.ops.strassen import strassen_mul_data
+
+    w = n // 32
+    a = jax.random.bits(jax.random.PRNGKey(0), (n, w), dtype=jnp.uint32)
+    b = jax.random.bits(jax.random.PRNGKey(1), (n, w), dtype=jnp.uint32)
+
+    if engine == "mxu":
+        core = mul_packed_data
+    elif engine == "strassen":
+        core = lambda x, y: strassen_mul_data(x, y, n, n, n, cutoff=n // 4)
+    elif engine == "m4rm":
+        from m4ri_tpu.core.bitmatrix import BitMatrix
+        from m4ri_tpu.ops.m4rm import mul_m4rm
+        core = lambda x, y: mul_m4rm(BitMatrix(x, n), BitMatrix(y, n)).data
+    elif engine == "naive":
+        from m4ri_tpu.core.bitmatrix import BitMatrix
+        from m4ri_tpu.ops.mul import mul_naive
+        core = lambda x, y: mul_naive(BitMatrix(x, n), BitMatrix(y, n)).data
+    else:
+        raise SystemExit(f"unknown engine {engine}")
+
+    @functools.partial(jax.jit, static_argnames="iters")
+    def chain(a, b, iters):
+        for _ in range(iters):
+            a = core(a, b)
+        return a
+
+    lo, hi = (2, 12) if n < 16384 else (1, 4)
+    slope = run_marginal(lambda it: jax.device_get(chain(a, b, it)), lo, hi)
+    bitops = 2.0 * n**3 / slope
+    vs = (bitops / (2.0 * 4096**3 / REF_4096_S)) if n == 4096 else None
+    emit(f"gf2_mul_{n}_{engine}", bitops / 1e12, "Tbit-op/s", slope, vs)
+
+
+if __name__ == "__main__":
+    main()

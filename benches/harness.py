@@ -1,0 +1,82 @@
+"""Statistical benchmark harness (reference analogue: bench/benchmarking.c —
+repeat until the mean lies within a +/-accuracy confidence interval at a
+chosen confidence level, bounded by min/max counts and max time).
+
+TPU-specific: the dev tunnel adds ~40 ms RPC per dispatch and
+``block_until_ready`` can return before execution completes, so (a) timings
+force a host readback, and (b) where the workload supports chaining,
+``run_marginal`` measures the slope between two chain lengths, cancelling
+the fixed per-dispatch cost (what a non-tunneled deployment sees).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+# z-values for the reference's confidence menu (benchmarking.c:24-52)
+_Z = {80: 1.282, 90: 1.645, 95: 1.960, 98: 2.326, 99: 2.576}
+
+
+@dataclasses.dataclass
+class Result:
+    mean: float
+    std: float
+    ci: float
+    samples: int
+
+    def line(self, label: str, extra: str = "") -> str:
+        return (f"{label}: mean {self.mean:.6f} s, sd {self.std:.6f}, "
+                f"ci +/-{self.ci * 100:.1f}%, n={self.samples}{extra}")
+
+
+def run_timed(fn, *, min_samples: int = 3, max_samples: int = 30,
+              accuracy: float = 0.05, confidence: int = 95,
+              max_time: float = 120.0) -> Result:
+    """Call fn() repeatedly; fn must block until its work is done and return
+    nothing (or the value to discard)."""
+    z = _Z[confidence]
+    times = []
+    t_start = time.perf_counter()
+    while True:
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+        n = len(times)
+        if n >= min_samples:
+            m = float(np.mean(times))
+            s = float(np.std(times, ddof=1)) if n > 1 else 0.0
+            half = z * s / np.sqrt(n) / m if m > 0 else 0.0
+            if half <= accuracy or n >= max_samples or \
+                    time.perf_counter() - t_start > max_time:
+                return Result(m, s, half, n)
+
+
+def run_marginal(run_chain, lo: int, hi: int, samples: int = 5) -> float:
+    """Median slope between chain lengths lo and hi; run_chain(iters) must
+    block until done."""
+    run_chain(lo)
+    run_chain(hi)  # compile + warm
+
+    def t(iters):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_chain(iters)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    slopes = [(t(hi) - t(lo)) / (hi - lo) for _ in range(samples)]
+    return float(np.median(slopes))
+
+
+def emit(metric: str, value: float, unit: str, wall: float,
+         vs_baseline: float | None = None) -> None:
+    import json
+    rec = {"metric": metric, "value": round(value, 4), "unit": unit,
+           "wall_s": round(wall, 6)}
+    if vs_baseline is not None:
+        rec["vs_baseline"] = round(vs_baseline, 3)
+    print(json.dumps(rec))

@@ -20,10 +20,11 @@ __version__ = "0.1.0"
 
 def __getattr__(name):
     # Lazy imports for the higher layers to keep import time low.
-    if name in ("ple", "pluq", "extract_ple"):
+    if name in ("ple", "pluq", "block_factor"):
         from .models import ple as _m
         return getattr(_m, name)
-    if name in ("echelonize", "rank", "invert"):
+    if name in ("echelonize", "echelonize_pluq", "top_echelonize", "rank",
+                "invert"):
         from .models import echelon as _m
         return getattr(_m, name)
     if name in ("trsm_lower_left", "trsm_upper_left", "trsm_lower_right",
@@ -32,5 +33,16 @@ def __getattr__(name):
         return getattr(_m, name)
     if name in ("solve_left", "kernel_left"):
         from .models import solve as _m
+        return getattr(_m, name)
+    if name in ("mul_m4rm", "addmul_m4rm"):
+        from .ops import m4rm as _m
+        return getattr(_m, name)
+    if name in ("djb_compile", "djb_apply"):
+        from .models import djb as _m
+        return getattr(_m, name)
+    if name in ("read_bits", "xor_bits", "and_bits", "clear_bits", "row_add",
+                "row_add_offset", "extract_u", "extract_l", "find_pivot",
+                "set_ui"):
+        from .core import bitops as _m
         return getattr(_m, name)
     raise AttributeError(name)

@@ -24,7 +24,8 @@ from ..ops.mul import pack_bits, unpack_bits
 from .ple import block_factor
 from .triangular import trsm_upper_left
 
-__all__ = ["echelonize", "rank", "invert"]
+__all__ = ["echelonize", "echelonize_pluq", "top_echelonize", "rank",
+           "invert"]
 
 
 def _rref_from_ref(data, q, r, m: int, n: int):
@@ -46,12 +47,73 @@ def _rref_from_ref(data, q, r, m: int, n: int):
     return out
 
 
-def echelonize(a: BitMatrix, full: bool = True, nb: int | None = None):
+def echelonize(a: BitMatrix, full: bool = True, nb: int | None = None,
+               strategy: str = "m4ri"):
     """Row echelon form (reference API: mzd_echelonize, echelonform.c:30;
-    full=True gives the reduced form).  Returns (matrix, rank)."""
+    full=True gives the reduced form).  Returns (matrix, rank).
+
+    ``strategy``: "m4ri" (direct factorization), "pluq" (reconstruct from the
+    PLE factors, echelonform.c:38-137), or "heuristic" — sample the density
+    and switch to the pluq path above the reference's 0.15 crossover
+    (echelonform.h:37).  All paths produce identical results (RREF is unique
+    and both use the canonical pivot order); keeping them separate mirrors
+    the reference dispatch and gives tests independent engines to compare.
+    """
+    if strategy == "heuristic":
+        from ..core.bitmatrix import density
+        from ..utils.config import get_config
+        d = float(density(a))
+        strategy = "pluq" if d >= get_config().echelon_density_crossover \
+            else "m4ri"
+    if strategy == "pluq":
+        return echelonize_pluq(a, full=full, nb=nb)
     data, _, q, r = block_factor(a, preserve_l=False, nb=nb)
     if not full:
         return mask_padding(BitMatrix(data, a.ncols)), r
+    out = _rref_from_ref(data, q, r, a.nrows, a.ncols)
+    return mask_padding(BitMatrix(out, a.ncols)), r
+
+
+def echelonize_pluq(a: BitMatrix, full: bool = True, nb: int | None = None):
+    """(R)REF reconstructed from the PLE factorization (reference API:
+    mzd_echelonize_pluq, echelonform.c:38-137): factor with L preserved in
+    the pivot columns, then clear the L bits from the echelon rows."""
+    m, n = a.nrows, a.ncols
+    rmax = min(m, n)
+    data, _, q, r = block_factor(a, preserve_l=True, nb=nb)
+    bits = unpack_bits(data[:rmax], jnp.uint8)[:, :n]
+    # pivrank[c] = k if column c is the k-th pivot column else a big value
+    k = jnp.arange(rmax, dtype=jnp.int32)
+    idx = jnp.where(k < r, q[:rmax], jnp.int32(n))
+    pivrank = jnp.full((n,), rmax + 1, jnp.int32).at[idx].set(k, mode="drop")
+    # clear L bits: entry (i, c) with pivrank[c] < i is an L multiplier
+    keep = (pivrank[None, :] >= k[:, None]).astype(jnp.uint8)
+    bits = bits * keep
+    top = pack_bits(bits)
+    if m > rmax:
+        top = jnp.concatenate(
+            [top, jnp.zeros((m - rmax, top.shape[1]), jnp.uint32)], axis=0)
+    else:
+        zero_tail = jnp.zeros((0, top.shape[1]), jnp.uint32)
+        top = jnp.concatenate([top, zero_tail], axis=0)
+    # rows >= r must be zero (they hold only L bits, all cleared above)
+    if not full:
+        return mask_padding(BitMatrix(top, n)), r
+    out = _rref_from_ref(top, q, r, m, n)
+    return mask_padding(BitMatrix(out, n)), r
+
+
+def top_echelonize(a: BitMatrix, k: int = 0, nb: int | None = None):
+    """RREF variant whose pivot search is restricted to the next 6k rows
+    below the current rank (reference API: mzd_top_echelonize_m4ri,
+    brilliantrussian.c:846-969 — no deep row swaps).  Returns (matrix, rank).
+    """
+    from ..utils.graycode import opt_k
+    if k <= 0:
+        k = min(opt_k(a.nrows, a.ncols), 7)
+    window = 6 * k
+    data, _, q, r = block_factor(a, preserve_l=False, nb=nb,
+                                 search_window=window)
     out = _rref_from_ref(data, q, r, a.nrows, a.ncols)
     return mask_padding(BitMatrix(out, a.ncols)), r
 

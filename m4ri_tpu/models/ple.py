@@ -43,8 +43,10 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("m", "n", "nb", "preserve_l"))
-def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool):
+@functools.partial(jax.jit, static_argnames=("m", "n", "nb", "preserve_l",
+                                             "search_window"))
+def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
+                       search_window: int = 0):
     nbw = nb // WORD_BITS
     m_pad = _round_up(m, nb) + nb
     n_pad = _round_up(n, nb)
@@ -74,6 +76,11 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool):
             sh = jnp.uint32(j % WORD_BITS)
             col = (jnp.take(Apanel, wloc, axis=1) >> sh) & 1
             active = (col == 1) & (ridx >= r) & (ridx < m)
+            if search_window:
+                # restricted pivot search (reference analogue:
+                # _mzd_top_echelonize_m4ri searches only r..r+kk,
+                # brilliantrussian.c:875)
+                active = active & (ridx < r + search_window)
             found = jnp.any(active)
             piv = jnp.argmax(active).astype(jnp.int32)
             rs = jnp.minimum(r, m_pad - 1)
@@ -147,7 +154,8 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool):
     return A[:m, : data.shape[1]], P[:m], Q[:n], r
 
 
-def block_factor(a: BitMatrix, preserve_l: bool, nb: int | None = None):
+def block_factor(a: BitMatrix, preserve_l: bool, nb: int | None = None,
+                 search_window: int = 0):
     """Shared panel factorization.  Returns (data, P, Q, rank) where data is
     the in-place pre-compress layout: rows 0..r-1 are the echelon rows E
     (pivot i at column Q[i]); if preserve_l, the L multipliers are preserved
@@ -156,7 +164,7 @@ def block_factor(a: BitMatrix, preserve_l: bool, nb: int | None = None):
         nb = get_config().panel_width
     nb = max(WORD_BITS, _round_up(min(nb, max(WORD_BITS, a.ncols)), WORD_BITS))
     data, p, q, r = _block_factor_impl(
-        a.data, a.nrows, a.ncols, nb, preserve_l)
+        a.data, a.nrows, a.ncols, nb, preserve_l, search_window)
     return data, p, q, r
 
 

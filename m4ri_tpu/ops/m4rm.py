@@ -1,0 +1,83 @@
+"""M4RM (Method of the Four Russians) multiplication — the Gray-table
+engine, recast for TPU.
+
+Reference analogue: _mzd_mul_m4rm (brilliantrussian.c:1032-1190): for each
+k-bit column slice of A, build a 2^k-row table of XOR combinations of k rows
+of B by walking the Gray code, then process each row of A with 8 table
+lookups + an 8-way XOR (xor_template.h).
+
+TPU recast (the "embedding-lookup" framing):
+- table build: the 2^k x n table is ``S @ B_slice`` where S is the constant
+  2^k x k selector matrix whose row x is the bit pattern of x — i.e. ONE
+  GF(2) MXU product per slice instead of a sequential Gray walk (the packed
+  selector is literally ``arange(2^k)`` since bit j of word 0 is bit j of x);
+- row processing: an index gather ``T[s, read_bits(A, :, s*k, k), :]``
+  vectorized over all rows, XOR-accumulated over slices.
+
+On dense operands the pure-MXU engine (ops/mul.py) is faster — the gathers
+are HBM-bandwidth-bound — but this engine does O(n^3/k) word work instead of
+O(n^3) lane work, matches the reference algorithm exactly, and wins when the
+MXU is the scarce resource.  It is also the cross-validation sibling the
+reference test suite expects (test_multiplication.c compares M4RM vs naive
+vs Strassen).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.bitmatrix import BitMatrix, width_for
+from ..utils.config import WORD_BITS
+from ..utils.graycode import opt_k
+from .mul import mul_packed_data, unpack_bits
+
+__all__ = ["mul_m4rm", "addmul_m4rm"]
+
+
+def mul_m4rm(a: BitMatrix, b: BitMatrix, k: int = 0) -> BitMatrix:
+    """C = A*B via Gray-code tables (reference API: mzd_mul_m4rm,
+    brilliantrussian.c:999)."""
+    return addmul_m4rm(None, a, b, k)
+
+
+def addmul_m4rm(c: BitMatrix | None, a: BitMatrix, b: BitMatrix,
+                k: int = 0) -> BitMatrix:
+    assert a.ncols == b.nrows
+    m, kk = a.nrows, a.ncols
+    n = b.ncols
+    nw = b.width
+    if k <= 0:
+        k = min(opt_k(a.nrows, a.ncols, b.ncols), 12)
+
+    nslices = (kk + k - 1) // k
+    kk_pad = nslices * k
+
+    # k-bit indices of every (row, slice): LSB-first within the slice.
+    abits = unpack_bits(a.data, jnp.uint8)
+    if abits.shape[1] < kk_pad:
+        abits = jnp.pad(abits, ((0, 0), (0, kk_pad - abits.shape[1])))
+    abits = abits[:, :kk_pad].reshape(m, nslices, k).astype(jnp.int32)
+    shifts = jnp.arange(k, dtype=jnp.int32)
+    idx = jnp.sum(abits << shifts[None, None, :], axis=-1)  # (m, nslices)
+
+    # All tables at once: T[s] = S @ B[s*k:(s+1)*k]; packed selector is just
+    # arange(2^k) when k <= 32.
+    sel = jnp.arange(1 << k, dtype=jnp.uint32)[:, None]
+    bd = b.data
+    if bd.shape[0] < kk_pad:
+        bd = jnp.pad(bd, ((0, kk_pad - bd.shape[0]), (0, 0)))
+    b3 = bd.reshape(nslices, k, nw)
+    tables = jax.vmap(lambda bs: mul_packed_data(sel, bs))(b3)
+    # tables: (nslices, 2^k, nw)
+
+    acc = c.data if c is not None else jnp.zeros((m, nw), jnp.uint32)
+    chunk = max(1, (1 << 28) // max(1, m * nw * 4))  # gather temp <= 256 MB
+    for s0 in range(0, nslices, chunk):
+        s1 = min(s0 + chunk, nslices)
+        t_chunk = tables[s0:s1]                      # (cs, 2^k, nw)
+        i_chunk = idx[:, s0:s1].T[:, :, None]        # (cs, m, 1)
+        g = jnp.take_along_axis(t_chunk, i_chunk, axis=1)  # (cs, m, nw)
+        acc = acc ^ jnp.bitwise_xor.reduce(g, axis=0)
+    return BitMatrix(acc, n)

@@ -51,6 +51,31 @@ def test_ref_non_reduced(rng, m, n):
     np.testing.assert_array_equal(oracle.rref(Rd), oracle.rref(a))
 
 
+@pytest.mark.parametrize("m,n", [(64, 64), (100, 150), (128, 90)])
+def test_elimination_paths_agree(rng, m, n):
+    """Independent engines must produce identical results (reference:
+    test_elimination.c elim_test_equality compares 7 paths)."""
+    from m4ri_tpu.models.echelon import echelonize_pluq, top_echelonize
+    a = random_dense(rng, m, n)
+    A = m4.from_numpy(a)
+    expect = oracle.rref(a)
+    for path in [
+        echelonize(A, full=True),
+        echelonize(A, full=True, strategy="heuristic"),
+        echelonize_pluq(A, full=True),
+        top_echelonize(A),              # random matrices: window suffices
+        top_echelonize(A, k=4),
+    ]:
+        R, r = path
+        np.testing.assert_array_equal(m4.to_numpy(R), expect)
+        assert int(r) == oracle.rank(a)
+    # non-reduced paths agree with each other
+    R1, r1 = echelonize(A, full=False)
+    R2, r2 = echelonize_pluq(A, full=False)
+    assert int(r1) == int(r2)
+    np.testing.assert_array_equal(m4.to_numpy(R1), m4.to_numpy(R2))
+
+
 def test_rank_only(rng):
     a = random_dense(rng, 150, 90)
     assert int(rank(m4.from_numpy(a))) == oracle.rank(a)

@@ -1,0 +1,84 @@
+"""Misc API parity tests (reference: tests/test_misc.c — bit-field ops,
+extract_u/extract_l, submatrix; plus set_ui/find_pivot/row_add_offset)."""
+
+import numpy as np
+import pytest
+
+import m4ri_tpu as m4
+from m4ri_tpu.core import bitops
+
+from conftest import random_dense
+
+
+def test_read_bits(rng):
+    a = random_dense(rng, 4, 100)
+    A = m4.from_numpy(a)
+    for (i, j, k) in [(0, 0, 5), (1, 30, 8), (2, 31, 32), (3, 60, 13),
+                      (0, 95, 5)]:
+        expect = 0
+        for t in range(k):
+            expect |= int(a[i, j + t]) << t
+        assert int(bitops.read_bits(A, i, j, k)) == expect
+
+
+def test_xor_and_clear_bits(rng):
+    a = random_dense(rng, 3, 70)
+    A = m4.from_numpy(a)
+    B = bitops.xor_bits(A, 1, 28, 8, 0xFF)
+    expect = a.copy()
+    expect[1, 28:36] ^= 1
+    np.testing.assert_array_equal(m4.to_numpy(B), expect)
+    C = bitops.clear_bits(A, 0, 60, 10)
+    expect = a.copy()
+    expect[0, 60:70] = 0
+    np.testing.assert_array_equal(m4.to_numpy(C), expect)
+    D = bitops.and_bits(A, 2, 30, 4, 0b0101)
+    expect = a.copy()
+    expect[2, 30:34] &= np.array([1, 0, 1, 0], np.uint8)
+    np.testing.assert_array_equal(m4.to_numpy(D), expect)
+
+
+def test_row_add_offset(rng):
+    a = random_dense(rng, 5, 100)
+    A = m4.from_numpy(a)
+    B = bitops.row_add_offset(A, 2, 4, 37)
+    expect = a.copy()
+    expect[2, 37:] ^= expect[4, 37:]
+    np.testing.assert_array_equal(m4.to_numpy(B), expect)
+    C = bitops.row_add(A, 0, 3)
+    expect = a.copy()
+    expect[3] ^= expect[0]
+    np.testing.assert_array_equal(m4.to_numpy(C), expect)
+
+
+@pytest.mark.parametrize("m,n", [(10, 10), (7, 12), (12, 7), (64, 64),
+                                 (70, 33)])
+def test_extract_u_l(rng, m, n):
+    a = random_dense(rng, m, n)
+    A = m4.from_numpy(a)
+    k = min(m, n)
+    np.testing.assert_array_equal(m4.to_numpy(bitops.extract_u(A)),
+                                  np.triu(a[:k, :k]))
+    np.testing.assert_array_equal(m4.to_numpy(bitops.extract_l(A)),
+                                  np.tril(a[:k, :k]))
+
+
+def test_find_pivot():
+    a = np.zeros((6, 40), np.uint8)
+    a[3, 17] = 1
+    a[5, 2] = 1
+    A = m4.from_numpy(a)
+    found, i, j = bitops.find_pivot(A, 0, 0)
+    assert bool(found) and (int(i), int(j)) == (5, 2)
+    found, i, j = bitops.find_pivot(A, 0, 3)
+    assert bool(found) and (int(i), int(j)) == (3, 17)
+    found, _, _ = bitops.find_pivot(A, 4, 18)
+    assert not bool(found)
+
+
+def test_set_ui(rng):
+    a = random_dense(rng, 5, 9)
+    I = bitops.set_ui(m4.from_numpy(a), 1)
+    np.testing.assert_array_equal(m4.to_numpy(I), np.eye(5, 9, dtype=np.uint8))
+    Z = bitops.set_ui(m4.from_numpy(a), 0)
+    assert not m4.to_numpy(Z).any()
