@@ -28,17 +28,34 @@ __all__ = ["echelonize", "echelonize_pluq", "top_echelonize", "rank",
            "invert"]
 
 
+def _pivot_selection(q, r, n: int, rmax: int):
+    """Packed selection matrix S (n x rmax) with S[Q[k], k] = 1 for k < r
+    and S[k, k] = 1 for k >= r.  Column extraction by pivot index then
+    becomes a GF(2) MXU product (REF @ S) instead of a giant gather."""
+    k = jnp.arange(rmax, dtype=jnp.int32)
+    rows = jnp.where(k < r, q[:rmax], k)
+    w = width_for(rmax)
+    s = jnp.zeros((n, w), jnp.uint32)
+    s = s.at[rows, k // 32].add(jnp.uint32(1) << (k % 32).astype(jnp.uint32),
+                                mode="drop")
+    return s
+
+
 def _rref_from_ref(data, q, r, m: int, n: int):
-    """Top rows of REF -> RREF rows via U_rr^{-1} @ U."""
+    """Top rows of REF -> RREF rows via U_rr^{-1} @ U.
+
+    U_rr = REF[:, pivot columns] is computed as REF @ S (one MXU product,
+    ops/mul.py) — far cheaper on TPU than unpacking and gathering columns."""
+    from ..ops.mul import mul_packed_data
     rmax = min(m, n)
     top = data[:rmax]
-    bits = unpack_bits(top, jnp.uint8)[:, :n]  # (rmax, n)
-    pivcols = q[:rmax]
-    urr = bits[:, pivcols]  # (rmax, rmax) upper triangular, unit diag (i<r)
+    s = _pivot_selection(q, r, n, rmax)
+    urr = mul_packed_data(top, s)  # (rmax, rmax) upper tri
+    # unit diagonal beyond the rank (rows >= r of top are zero)
+    eye = identity(rmax).data
     k = jnp.arange(rmax, dtype=jnp.int32)
-    urr = urr | ((k[:, None] == k[None, :]) & (k[:, None] >= r)).astype(
-        jnp.uint8)
-    u_mat = BitMatrix(pack_bits(urr), rmax)
+    urr = urr | (eye * (k >= r)[:, None].astype(jnp.uint32))
+    u_mat = BitMatrix(urr, rmax)
     x = trsm_upper_left(u_mat, BitMatrix(top, n))
     out = x.data
     if m > rmax:

@@ -69,9 +69,12 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
         Apanel = lax.dynamic_slice(A, (0, c0w), (m_pad, nbw))
         Lp = jnp.zeros((m_pad, nb), jnp.uint8)
         rowperm = jnp.arange(m_pad, dtype=jnp.int32)
+        # records of the swap endpoints, to apply the permutation to the
+        # rest of A by touching only the <= 2*nb affected rows
+        touched = jnp.zeros((2 * nb,), jnp.int32)
 
         def colstep(j, st):
-            Apanel, Lp, rowperm, P, Q, r = st
+            Apanel, Lp, rowperm, P, Q, r, touched = st
             wloc = j // WORD_BITS
             sh = jnp.uint32(j % WORD_BITS)
             col = (jnp.take(Apanel, wloc, axis=1) >> sh) & 1
@@ -94,6 +97,7 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
             Lp = swap2(Lp)
             rowperm = swap2(rowperm)
             col = swap2(col)
+            touched = touched.at[2 * j].set(rs).at[2 * j + 1].set(ps)
             P = P.at[rs].set(jnp.where(found, ps, P[rs]))
             c_glob = t * nb + j
             Q = Q.at[rs].set(jnp.where(found, c_glob, Q[rs]))
@@ -113,12 +117,15 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
             Lp = lax.dynamic_update_slice(
                 Lp, elim.astype(jnp.uint8)[:, None], (0, r - r_in))
             r = r + found.astype(jnp.int32)
-            return (Apanel, Lp, rowperm, P, Q, r)
+            return (Apanel, Lp, rowperm, P, Q, r, touched)
 
-        Apanel, Lp, rowperm, P, Q, r = lax.fori_loop(
-            0, nb, colstep, (Apanel, Lp, rowperm, P, Q, r))
+        Apanel, Lp, rowperm, P, Q, r, touched = lax.fori_loop(
+            0, nb, colstep, (Apanel, Lp, rowperm, P, Q, r, touched))
 
-        A = A[rowperm]
+        # apply the row permutation to the rest of A: only the swap
+        # endpoints moved (<= 2*nb rows), so gather/scatter just those
+        moved = A[rowperm[touched]]
+        A = A.at[touched].set(moved, mode="drop")
         A = lax.dynamic_update_slice(A, Apanel, (0, c0w))
 
         # --- U rows of this panel via nilpotent inversion of L11 ---

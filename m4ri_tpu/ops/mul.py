@@ -91,6 +91,15 @@ def mul_packed_data(a_data: jnp.ndarray, b_data: jnp.ndarray,
     k, nw = b_data.shape
     kp = kw * WORD_BITS
 
+    # Shallow contractions on TPU go through the fused Pallas kernel: the
+    # XLA path would materialize an m x n int32 product in HBM — a 32x
+    # traffic inflation that dominates when k is small (the Schur updates
+    # of the panel factorization have k = panel width = 128).
+    if (cfg.use_pallas_schur and kw <= 32 and m >= 2048 and nw >= 128
+            and jax.default_backend() == "tpu"):
+        from .pallas_mul import gf2_mul_pallas
+        return gf2_mul_pallas(a_data, b_data)
+
     def block_mul(a_blk, b_blk):
         a_u = unpack_bits(a_blk, dt)
         b_u = unpack_bits(b_blk, dt)

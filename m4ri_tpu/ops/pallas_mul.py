@@ -1,0 +1,178 @@
+"""Fused Pallas GF(2) matmul kernel: packed uint32 in, packed uint32 out.
+
+The XLA path (ops/mul.py) materializes the unpacked int8 operands and the
+int32 product in HBM — an 8x/32x traffic inflation that dominates when the
+contraction is shallow (e.g. the k=128 Schur updates of the panel
+factorization).  This kernel keeps everything on-chip:
+
+    HBM:  A^T packed (K/32, M)   B packed (K, N/32)   C packed (M, N/32)
+    VMEM: unpack -> int8 -> MXU dot_general (int32 acc) -> parity -> pack
+
+Design notes (all verified on TPU v5e):
+- Packed blocks must have a last dimension divisible by 128 (Mosaic tiling),
+  which a 32x-compressed word axis rarely satisfies — so A is stored
+  *word-transposed* (K/32, M): k-chunks become sublane slices, fetched with
+  manual double-buffered DMA, and the MXU contracts dimension 0 of both
+  operands natively.
+- Unpacking uses the bit-plane layout: 32 static concat slices, no
+  per-lane variable shifts.  The induced lane permutation on the
+  contraction axis is compensated by pre-permuting B's rows once outside
+  the kernel; on the output axis it is exactly inverted by the same-layout
+  pack, so C emerges in standard packing.
+- Mosaic miscompiles scalar-constant LEFT shifts >= ~17 on uint32; packing
+  therefore multiplies by 2^s (bit-exact, verified).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.config import WORD_BITS
+
+__all__ = ["gf2_mul_pallas"]
+
+TM = 256        # output row tile (default)
+TKW = 32        # contraction words per chunk (default; TK = 1024 bits)
+TNW = 128       # output words per tile (TN = 4096 bits)
+
+
+def _unpack_planes_ax1(p, dt=jnp.int8):
+    """uint32 (R, W) -> (R, 32W): lane s*W + w holds bit s of word w."""
+    return jnp.concatenate(
+        [((p >> s) & 1).astype(dt) for s in range(WORD_BITS)], axis=1)
+
+
+def _unpack_planes_ax0(p, dt=jnp.int8):
+    """uint32 (W, C) -> (32W, C): row s*W + w holds bit s of word w."""
+    return jnp.concatenate(
+        [((p >> s) & 1).astype(dt) for s in range(WORD_BITS)], axis=0)
+
+
+def _pack_planes(bits, w):
+    """0/1 int32 (R, 32w) -> uint32 (R, w); inverse of _unpack_planes_ax1."""
+    out = jnp.zeros((bits.shape[0], w), jnp.uint32)
+    for s in range(WORD_BITS):
+        out = out + bits[:, s * w : (s + 1) * w].astype(jnp.uint32) \
+            * jnp.uint32(1 << s)
+    return out
+
+
+def _make_kernel(tm: int, tkw: int, tnw: int):
+    tk = tkw * WORD_BITS
+    tn = tnw * WORD_BITS
+
+    def _kernel(at_hbm, bp_hbm, o_ref, acc_ref, abuf, bbuf, sems):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        kw_tot = at_hbm.shape[0]
+        n_chunks = kw_tot // tkw
+
+        def a_dma(slot, kb):
+            return pltpu.make_async_copy(
+                at_hbm.at[pl.ds(kb * tkw, tkw), pl.ds(i * tm, tm)],
+                abuf.at[slot], sems.at[slot, 0])
+
+        def b_dma(slot, kb):
+            return pltpu.make_async_copy(
+                bp_hbm.at[pl.ds(kb * tk, tk), pl.ds(j * tnw, tnw)],
+                bbuf.at[slot], sems.at[slot, 1])
+
+        a_dma(0, 0).start()
+        b_dma(0, 0).start()
+
+        def body(kb, acc):
+            slot = jax.lax.rem(kb, 2)
+            nxt = jax.lax.rem(kb + 1, 2)
+
+            @pl.when(kb + 1 < n_chunks)
+            def _():
+                a_dma(nxt, kb + 1).start()
+                b_dma(nxt, kb + 1).start()
+
+            a_dma(slot, kb).wait()
+            b_dma(slot, kb).wait()
+            ua_t = _unpack_planes_ax0(abuf[slot])   # (tk, tm) int8
+            ub = _unpack_planes_ax1(bbuf[slot])     # (tk, tn) int8
+            return acc + jax.lax.dot_general(
+                ua_t, ub, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        acc = jax.lax.fori_loop(
+            0, n_chunks, body, jnp.zeros((tm, tn), jnp.int32))
+        o_ref[:] = _pack_planes(acc & 1, tnw)
+
+    return _kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _row_perm(k_pad: int, tkw: int) -> np.ndarray:
+    """B-row permutation matching the plane layout of A's unpacked
+    contraction lanes (per tk group)."""
+    tk = tkw * WORD_BITS
+    l = np.arange(k_pad)
+    grp, lane = np.divmod(l, tk)
+    s, w = np.divmod(lane, tkw)
+    return grp * tk + WORD_BITS * w + s
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tkw", "tnw"))
+def _mul_padded(at, bp, tm: int, tkw: int, tnw: int):
+    kw_pad, m = at.shape
+    k_pad, nw = bp.shape
+    tk = tkw * WORD_BITS
+    tn = tnw * WORD_BITS
+    grid = (m // tm, nw // tnw)
+    return pl.pallas_call(
+        _make_kernel(tm, tkw, tnw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tm, tnw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, nw), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((tm, tn), jnp.int32),
+            pltpu.VMEM((2, tkw, tm), jnp.uint32),
+            pltpu.VMEM((2, tk, tnw), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * (kw_pad * WORD_BITS) * (nw * WORD_BITS),
+            bytes_accessed=(kw_pad * m + k_pad * nw + m * nw) * 4,
+            transcendentals=0),
+    )(at, bp)
+
+
+def gf2_mul_pallas(a_data: jnp.ndarray, b_data: jnp.ndarray,
+                   tm: int = TM, tnw: int = TNW) -> jnp.ndarray:
+    """Packed GF(2) product C = A*B.  a: uint32[m, kw], b: uint32[k, nw]
+    with k <= kw*32 (padding bits zero).  Returns uint32[m, nw].
+
+    The contraction chunk adapts to shallow k (no padding waste for the
+    panel-factorization Schur updates where kw = 4)."""
+    m, kw = a_data.shape
+    k, nw = b_data.shape
+    tkw = min(TKW, kw)
+    m_pad = _round_up(m, tm)
+    kw_pad = _round_up(kw, tkw)
+    k_pad = kw_pad * WORD_BITS
+    nw_pad = _round_up(nw, tnw)
+    at = jnp.pad(a_data, ((0, m_pad - m), (0, kw_pad - kw))).T
+    b = jnp.pad(b_data, ((0, k_pad - k), (0, nw_pad - nw)))
+    bp = b[jnp.asarray(_row_perm(k_pad, tkw))]
+    out = _mul_padded(at, bp, tm, tkw, tnw)
+    return out[:m, :nw]

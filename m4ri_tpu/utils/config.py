@@ -40,6 +40,9 @@ class Config:
     # Density crossover at which M4RI echelonization switches to PLUQ
     # (reference: echelonform.h:37, threshold 0.15).
     echelon_density_crossover: float = 0.15
+    # Route shallow-k products (k <= 1024, large m/n) through the fused
+    # Pallas kernel on TPU (avoids the HBM int32-product materialization).
+    use_pallas_schur: bool = True
 
 
 @functools.lru_cache(maxsize=1)

@@ -82,3 +82,24 @@ def test_set_ui(rng):
     np.testing.assert_array_equal(m4.to_numpy(I), np.eye(5, 9, dtype=np.uint8))
     Z = bitops.set_ui(m4.from_numpy(a), 0)
     assert not m4.to_numpy(Z).any()
+
+
+def test_word_bit_utils():
+    """reference: test_misc.c spread/shrink bits round trips."""
+    from m4ri_tpu.utils.bits import (lesser_lsb, parity64, shrink_bits,
+                                     spread_bits, swap_bits)
+    rng = np.random.default_rng(17)
+    assert swap_bits(1, 32) == 1 << 31
+    assert swap_bits(swap_bits(0xDEADBEEF, 32), 32) == 0xDEADBEEF
+    for _ in range(20):
+        length = int(rng.integers(1, 16))
+        q = np.sort(rng.choice(32, size=length, replace=False))
+        # q must satisfy q[i] >= i for spread to shift left
+        q = np.maximum(q, np.arange(length))
+        v = int(rng.integers(0, 1 << length))
+        s = spread_bits(v, q, length)
+        assert shrink_bits(s, q, length) == v
+    assert lesser_lsb(0b100, 0b1000) and not lesser_lsb(0b1000, 0b100)
+    assert not lesser_lsb(0, 5) and lesser_lsb(5, 0)
+    buf = np.array([3, 1, 7], dtype=np.uint64)
+    assert parity64(buf) == 0b110  # popcounts 2,1,3 -> parities 0,1,1
