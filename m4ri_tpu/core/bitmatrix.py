@@ -260,3 +260,23 @@ def density(m: BitMatrix) -> jax.Array:
                       dtype=jnp.int32)
     ones = jnp.sum(per_row.astype(jnp.float32))
     return ones / (m.nrows * m.ncols)
+
+
+def randomize_custom(nrows: int, ncols: int, callback) -> BitMatrix:
+    """Fill from a user RNG callback returning 64-bit words, following the
+    exact consumption order of mzd_randomize_custom (mzd.c:1287-1300):
+    row-major, ceil(ncols/64) words per row, last word masked."""
+    w64 = (ncols + 63) // 64
+    mask_bits = (ncols - 1) % 64 + 1
+    mask_end = (1 << mask_bits) - 1
+    rows64 = np.empty((nrows, w64), dtype=np.uint64)
+    for i in range(nrows):
+        for j in range(w64):
+            v = int(callback()) & 0xFFFFFFFFFFFFFFFF
+            rows64[i, j] = v & mask_end if j == w64 - 1 else v
+    lo = (rows64 & 0xFFFFFFFF).astype(np.uint32)
+    hi = (rows64 >> np.uint64(32)).astype(np.uint32)
+    out = np.empty((nrows, 2 * w64), dtype=np.uint32)
+    out[:, 0::2] = lo
+    out[:, 1::2] = hi
+    return BitMatrix(jnp.asarray(np.ascontiguousarray(out[:, : width_for(ncols)])), ncols)

@@ -16,6 +16,9 @@ unique over GF(2) anyway) and computes:
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ..core.bitmatrix import (BitMatrix, concat, identity, mask_padding,
@@ -23,6 +26,15 @@ from ..core.bitmatrix import (BitMatrix, concat, identity, mask_padding,
 from ..ops.mul import pack_bits, unpack_bits
 from .ple import block_factor
 from .triangular import trsm_upper_left
+
+# The public entry points below are jitted end-to-end (factorization +
+# RREF post-pass in one program): the post-pass alone is ~70 XLA ops and
+# the dev tunnel charges ~40 ms per eager dispatch.
+def _jit_shapes(fn):
+    import inspect
+    names = [p for p in inspect.signature(fn).parameters
+             if p in ("full", "nb", "k", "search_window")]
+    return functools.partial(jax.jit, static_argnames=tuple(names))(fn)
 
 __all__ = ["echelonize", "echelonize_pluq", "top_echelonize", "rank",
            "invert"]
@@ -84,6 +96,11 @@ def echelonize(a: BitMatrix, full: bool = True, nb: int | None = None,
             else "m4ri"
     if strategy == "pluq":
         return echelonize_pluq(a, full=full, nb=nb)
+    return _echelonize_m4ri(a, full, nb)
+
+
+@_jit_shapes
+def _echelonize_m4ri(a: BitMatrix, full: bool = True, nb: int | None = None):
     data, _, q, r = block_factor(a, preserve_l=False, nb=nb)
     if not full:
         return mask_padding(BitMatrix(data, a.ncols)), r
@@ -91,6 +108,7 @@ def echelonize(a: BitMatrix, full: bool = True, nb: int | None = None,
     return mask_padding(BitMatrix(out, a.ncols)), r
 
 
+@_jit_shapes
 def echelonize_pluq(a: BitMatrix, full: bool = True, nb: int | None = None):
     """(R)REF reconstructed from the PLE factorization (reference API:
     mzd_echelonize_pluq, echelonform.c:38-137): factor with L preserved in
@@ -128,13 +146,18 @@ def top_echelonize(a: BitMatrix, k: int = 0, nb: int | None = None):
     from ..utils.graycode import opt_k
     if k <= 0:
         k = min(opt_k(a.nrows, a.ncols), 7)
-    window = 6 * k
+    return _top_echelonize_impl(a, 6 * k, nb)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "nb"))
+def _top_echelonize_impl(a: BitMatrix, window: int, nb: int | None):
     data, _, q, r = block_factor(a, preserve_l=False, nb=nb,
                                  search_window=window)
     out = _rref_from_ref(data, q, r, a.nrows, a.ncols)
     return mask_padding(BitMatrix(out, a.ncols)), r
 
 
+@_jit_shapes
 def echelonize_with_pivots(a: BitMatrix, nb: int | None = None):
     """RREF plus pivot-column swap array (used by kernel computation)."""
     data, _, q, r = block_factor(a, preserve_l=False, nb=nb)
@@ -147,13 +170,16 @@ def rank(a: BitMatrix, nb: int | None = None):
     return r
 
 
+@_jit_shapes
 def invert(a: BitMatrix, nb: int | None = None):
     """A^{-1} via RREF of [A | I] (reference: mzd_inv_m4ri).  Returns
     (inverse, rank); the inverse is valid iff rank == n."""
     n = a.ncols
     assert a.nrows == n, "inversion requires a square matrix"
     aug = concat(a, identity(n))
-    rref, q, r = echelonize_with_pivots(aug, nb=nb)
+    data, _, q, r = block_factor(aug, preserve_l=False, nb=nb)
+    out = _rref_from_ref(data, q, r, aug.nrows, aug.ncols)
+    rref = mask_padding(BitMatrix(out, aug.ncols))
     # rank of A itself = pivots that fall in the left block
     k = jnp.arange(min(aug.nrows, aug.ncols), dtype=jnp.int32)
     r_a = jnp.sum(((k < r) & (q[: k.shape[0]] < n)).astype(jnp.int32))

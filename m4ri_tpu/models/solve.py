@@ -13,6 +13,9 @@ of the forward solve form the consistency residual).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ..core.bitmatrix import BitMatrix, mask_padding, width_for
@@ -25,6 +28,7 @@ from .triangular import trsm_lower_left, trsm_upper_left
 __all__ = ["solve_left", "kernel_left"]
 
 
+@functools.partial(jax.jit, static_argnames=("nb",))
 def solve_left(a: BitMatrix, b: BitMatrix, nb: int | None = None):
     """Solve A X = B (reference API: mzd_solve_left, solve.c:30).
 
@@ -73,6 +77,7 @@ def solve_left(a: BitMatrix, b: BitMatrix, nb: int | None = None):
     return mask_padding(x), consistent
 
 
+@functools.partial(jax.jit, static_argnames=("nb",))
 def kernel_left(a: BitMatrix, nb: int | None = None):
     """Basis X of the right kernel {x : A x = 0} (reference API:
     mzd_kernel_left_pluq, solve.c:154).

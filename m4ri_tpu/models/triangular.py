@@ -19,6 +19,7 @@ inverse, keeping all O(n^3) work on the systolic array.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.bitmatrix import BitMatrix, mask_padding, width_for
@@ -85,37 +86,48 @@ def _trtri(t: BitMatrix, upper: bool) -> BitMatrix:
     return mask_padding(BitMatrix(jnp.concatenate([top, bot], axis=0), n))
 
 
+# Public entry points are jitted: the recursion is O(log n) levels of
+# multiplies, and un-jitted each would dispatch separately (the dev tunnel
+# charges ~40 ms per dispatch).
+
+
+@jax.jit
 def trtri_upper(t: BitMatrix) -> BitMatrix:
     """U^{-1} for unit upper triangular U (reference: mzd_trtri_upper)."""
     return _trtri(t, True)
 
 
+@jax.jit
 def trtri_lower(t: BitMatrix) -> BitMatrix:
     """L^{-1} for unit lower triangular L."""
     return _trtri(t, False)
 
 
+@jax.jit
 def trsm_upper_left(u: BitMatrix, b: BitMatrix) -> BitMatrix:
     """Solve U X = B, i.e. X = U^{-1} B (reference: mzd_trsm_upper_left,
     triangular.c:457-516)."""
     assert u.nrows == u.ncols == b.nrows
-    return mul(trtri_upper(u), b)
+    return mul(_trtri(u, True), b)
 
 
+@jax.jit
 def trsm_lower_left(l: BitMatrix, b: BitMatrix) -> BitMatrix:
     """Solve L X = B (reference: mzd_trsm_lower_left, triangular.c:396-451)."""
     assert l.nrows == l.ncols == b.nrows
-    return mul(trtri_lower(l), b)
+    return mul(_trtri(l, False), b)
 
 
+@jax.jit
 def trsm_upper_right(u: BitMatrix, b: BitMatrix) -> BitMatrix:
     """Solve X U = B, i.e. X = B U^{-1} (reference: mzd_trsm_upper_right,
     triangular.c:41-111)."""
     assert u.nrows == u.ncols == b.ncols
-    return mul(b, trtri_upper(u))
+    return mul(b, _trtri(u, True))
 
 
+@jax.jit
 def trsm_lower_right(l: BitMatrix, b: BitMatrix) -> BitMatrix:
     """Solve X L = B (reference: mzd_trsm_lower_right, triangular.c:301-390)."""
     assert l.nrows == l.ncols == b.ncols
-    return mul(b, trtri_lower(l))
+    return mul(b, _trtri(l, False))

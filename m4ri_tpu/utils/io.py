@@ -142,3 +142,16 @@ def info(a: BitMatrix, compute_rank: bool = False) -> str:
         from ..models.echelon import rank
         s += f", rank {int(rank(a))}"
     return s
+
+
+def save_npz(a: BitMatrix, path: str) -> None:
+    """Persist a BitMatrix (packed words + shape) — checkpoint/resume
+    support for long factorizations (the reference has only PNG/JCF text
+    serialization; SURVEY §5)."""
+    np.savez_compressed(path, data=np.asarray(a.data), ncols=a.ncols)
+
+
+def load_npz(path: str) -> BitMatrix:
+    from ..core.bitmatrix import from_packed
+    with np.load(path) as z:
+        return from_packed(z["data"], int(z["ncols"]))

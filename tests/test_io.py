@@ -57,3 +57,20 @@ def test_hash_changes(rng):
     c = a[::-1].copy()
     if not np.array_equal(a, c):
         assert int(matrix_hash(m4.from_numpy(c))) != h1
+
+
+def test_npz_roundtrip(rng, tmp_path):
+    a = random_dense(rng, 33, 100)
+    A = m4.from_numpy(a)
+    p = str(tmp_path / "m.npz")
+    io.save_npz(A, p)
+    assert bool(m4.equal(io.load_npz(p), A))
+
+
+def test_randomize_custom():
+    from m4ri_tpu.core.bitmatrix import randomize_custom
+    from m4ri_tpu.utils.rng import GlibcRandom
+    g = GlibcRandom(17)
+    A = randomize_custom(5, 100, g.random_word)
+    B = m4.randomize_reference(5, 100, seed=17)
+    assert bool(m4.equal(A, B))
