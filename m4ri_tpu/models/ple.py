@@ -176,9 +176,10 @@ def block_factor(a: BitMatrix, preserve_l: bool, nb: int | None = None,
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n"))
-def _compress_l_impl(data, q, r, m: int, n: int):
-    """Move L columns into 0..r-1 (reference: _mzd_ple_naive compression,
-    ple.c:259-268 — for j < r: col_swap_in_rows(A, Q[j], j, rows j..m))."""
+def _compress_l_seq(data, q, r, m: int, n: int):
+    """Sequential reference semantics of the L compression (one masked
+    column swap per pivot) — kept as the cross-validation sibling of the
+    vectorized version below."""
     ridx = jnp.arange(m, dtype=jnp.int32)
 
     def body(j, data):
@@ -195,6 +196,58 @@ def _compress_l_impl(data, q, r, m: int, n: int):
         return data
 
     return lax.fori_loop(0, min(m, n), body, data)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n"))
+def _compress_l_impl(data, q, r, m: int, n: int):
+    """Move L columns into 0..r-1 (reference: _mzd_ple_naive compression,
+    ple.c:259-268 — for j < r ascending: col_swap_in_rows(A, Q[j], j,
+    rows j..m)).
+
+    Vectorized: because Q is injective and Q[j] >= j, each column's content
+    changes at most twice across the whole ascending swap sequence —
+    once in its *source* role (some j with Q[j] = c pulls the then-current
+    column j into c, whose origin is resolved by chasing the j <- Q[j'] = j
+    chain with pointer doubling) and once in its *target* role (column
+    c < r receives the original column Q[c]; Q[c]'s content is provably
+    untouched before step c).  The sequential loop therefore collapses into
+    two column gathers and masked selects — O(log r) tiny steps instead of
+    min(m, n) full passes."""
+    import numpy as np
+    from ..ops.mul import pack_bits, unpack_bits
+
+    rmax = min(m, n)
+    c = jnp.arange(n, dtype=jnp.int32)
+    t = jnp.arange(rmax, dtype=jnp.int32)
+    qv = q[:rmax]
+    real = (t < r) & (qv != t)  # real swaps (Q[j] > j since Q[j] >= j)
+
+    # src_event[c] = the j with Q[j] = c (if any real one exists)
+    src_event = jnp.full((n,), jnp.int32(n))
+    src_event = src_event.at[jnp.where(real, qv, jnp.int32(n))].set(
+        t, mode="drop")
+    # chase the chain j <- (j' with Q[j'] = j) to its origin column
+    f = jnp.where(src_event[:rmax] < n, src_event[:rmax], t)
+    for _ in range(max(1, int(np.ceil(np.log2(max(rmax, 2)))))):
+        f = f[f]
+
+    sv = src_event < n  # column is a swap source
+    o1 = jnp.where(sv, f[jnp.clip(src_event, 0, rmax - 1)], c)
+    tv = jnp.zeros((n,), jnp.bool_).at[:rmax].set(real)  # column is a target
+    o2 = jnp.where(tv, jnp.pad(qv, (0, n - rmax)), c)
+
+    bits = unpack_bits(data, jnp.uint8)[:, :n]
+    g1 = bits[:, o1]
+    g2 = bits[:, o2]
+    i = jnp.arange(m, dtype=jnp.int32)[:, None]
+    out = jnp.where(tv[None, :] & (i >= c[None, :]), g2,
+                    jnp.where(sv[None, :] & (i >= src_event[None, :]), g1,
+                              bits))
+    packed = pack_bits(out)
+    w = data.shape[1]
+    if packed.shape[1] < w:
+        packed = jnp.pad(packed, ((0, 0), (0, w - packed.shape[1])))
+    return packed[:, :w]
 
 
 def ple(a: BitMatrix, nb: int | None = None):

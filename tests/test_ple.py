@@ -96,3 +96,20 @@ def test_pluq_reconstruction(rng, m, n):
     lhs = m4.to_numpy(Acopy)
     rhs = (L.astype(np.int64) @ U.astype(np.int64)) % 2 if r else np.zeros((m, n))
     np.testing.assert_array_equal(lhs, rhs.astype(np.uint8))
+
+
+@pytest.mark.parametrize("m,n", [(32, 32), (64, 100), (100, 64), (129, 129)])
+def test_compress_l_vectorized_matches_sequential(rng, m, n):
+    """The pointer-chase compression must reproduce the reference's
+    sequential column-swap semantics bit for bit."""
+    from m4ri_tpu.models.ple import (_compress_l_impl, _compress_l_seq,
+                                     block_factor)
+    # low-ish rank inputs exercise chains (Q[j] > j cases)
+    k = min(m, n) * 2 // 3
+    a = oracle.mul(random_dense(rng, m, k), random_dense(rng, k, n)).astype(
+        np.uint8)
+    A = m4.from_numpy(a)
+    data, p, q, r = block_factor(A, preserve_l=True)
+    out_v = np.asarray(_compress_l_impl(data, q, r, m, n))
+    out_s = np.asarray(_compress_l_seq(data, q, r, m, n))
+    np.testing.assert_array_equal(out_v, out_s)
