@@ -81,7 +81,8 @@ def strassen_mul_data(a_data: jnp.ndarray, b_data: jnp.ndarray,
     if cutoff is None:
         cutoff = cfg.strassen_cutoff
     levels = 0
-    while min(m, k, n) >> (levels + 1) >= cutoff and levels < 4:
+    while (min(m, k, n) >> (levels + 1) >= cutoff
+           and levels < cfg.strassen_max_levels):
         levels += 1
     if levels == 0:
         return mul_packed_data(a_data, b_data)

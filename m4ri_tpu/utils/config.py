@@ -29,7 +29,7 @@ class Config:
     # Row-block size bounding the int32 product intermediate in HBM.
     mul_block_m: int = 8192
     # Below this dimension, use one fused matmul with no blocking.
-    mul_block_threshold: int = 16384
+    mul_block_threshold: int = 8192
     # Strassen-Winograd crossover (reference: __M4RI_STRASSEN_MUL_CUTOFF =
     # MIN(sqrt(4*L3), 4096), strassen.h:133-135).  On the MXU the base
     # multiply is so fast that Strassen only pays off for large n.
@@ -43,6 +43,12 @@ class Config:
     # Route shallow-k products (k <= 1024, large m/n) through the fused
     # Pallas kernel on TPU (avoids the HBM int32-product materialization).
     use_pallas_schur: bool = True
+    # Route large deep products through the fused Pallas kernel on TPU
+    # (measured: 375 vs 353 Tbit-op/s vs blocked XLA at n=16384, and no
+    # unpacked-operand HBM materialization).
+    use_pallas_big: bool = True
+    # Strassen recursion depth cap (compile size grows 7^levels).
+    strassen_max_levels: int = 2
 
 
 @functools.lru_cache(maxsize=1)
