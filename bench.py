@@ -55,10 +55,10 @@ def bench_mul(n: int = 4096, samples: int = 5):
 
     # device_get forces real completion (block_until_ready returns early
     # under the axon relay, and even jnp.sum costs minutes of tunnel
-    # compile); the readback cost is identical for both chain lengths and
-    # cancels in the slope.
+    # compile); fetching only a row slice keeps the ~25 MB/s tunnel
+    # readback negligible, and what remains cancels in the slope.
     def run(iters):
-        return jax.device_get(chain(a, b, iters))
+        return jax.device_get(chain(a, b, iters)[:8])
 
     run(lo), run(hi)  # compile + warm both trip counts
 

@@ -68,19 +68,23 @@ def _make_kernel(tm: int, tkw: int, tnw: int):
     tn = tnw * WORD_BITS
 
     def _kernel(at_hbm, bp_hbm, o_ref, acc_ref, abuf, bbuf, sems):
+        # Operands arrive i/j-tiled — at: (I, kw, tm), bp: (J, k, tnw) — so
+        # every DMA below reads a fully CONTIGUOUS chunk.  With the flat 2-D
+        # layouts the strided row reads (512 B useful per 8 KB stride at
+        # n=65536) collapsed DMA throughput ~16x.
         i = pl.program_id(0)
         j = pl.program_id(1)
-        kw_tot = at_hbm.shape[0]
+        kw_tot = at_hbm.shape[1]
         n_chunks = kw_tot // tkw
 
         def a_dma(slot, kb):
             return pltpu.make_async_copy(
-                at_hbm.at[pl.ds(kb * tkw, tkw), pl.ds(i * tm, tm)],
+                at_hbm.at[i, pl.ds(kb * tkw, tkw), :],
                 abuf.at[slot], sems.at[slot, 0])
 
         def b_dma(slot, kb):
             return pltpu.make_async_copy(
-                bp_hbm.at[pl.ds(kb * tk, tk), pl.ds(j * tnw, tnw)],
+                bp_hbm.at[j, pl.ds(kb * tk, tk), :],
                 bbuf.at[slot], sems.at[slot, 1])
 
         a_dma(0, 0).start()
@@ -127,8 +131,10 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("tm", "tkw", "tnw"))
 def _mul_padded(at, bp, tm: int, tkw: int, tnw: int):
-    kw_pad, m = at.shape
-    k_pad, nw = bp.shape
+    n_i, kw_pad, _ = at.shape
+    n_j, k_pad, _ = bp.shape
+    m = n_i * tm
+    nw = n_j * tnw
     tk = tkw * WORD_BITS
     tn = tnw * WORD_BITS
     grid = (m // tm, nw // tnw)
@@ -173,6 +179,15 @@ def gf2_mul_pallas(a_data: jnp.ndarray, b_data: jnp.ndarray,
     nw_pad = _round_up(nw, tnw)
     at = jnp.pad(a_data, ((0, m_pad - m), (0, kw_pad - kw))).T
     b = jnp.pad(b_data, ((0, k_pad - k), (0, nw_pad - nw)))
-    bp = b[jnp.asarray(_row_perm(k_pad, tkw))]
-    out = _mul_padded(at, bp, tm, tkw, tnw)
+    # The per-group row permutation l -> 32*(l % tkw) + l//tkw is a
+    # reshape+transpose (a fast copy), NOT a gather — large row gathers
+    # cost seconds on TPU and dominated single calls at n >= 32768.
+    groups = k_pad // (tkw * WORD_BITS)
+    bp = (b.reshape(groups, tkw, WORD_BITS, nw_pad)
+           .swapaxes(1, 2)
+           .reshape(k_pad, nw_pad))
+    # i/j-tile both operands so the kernel's DMA chunks are contiguous.
+    at3 = at.reshape(kw_pad, m_pad // tm, tm).swapaxes(0, 1)
+    bp3 = bp.reshape(k_pad, nw_pad // tnw, tnw).swapaxes(0, 1)
+    out = _mul_padded(at3, bp3, tm, tkw, tnw)
     return out[:m, :nw]
