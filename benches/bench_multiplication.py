@@ -52,7 +52,7 @@ def main():
         return a
 
     lo, hi = (2, 12) if n < 16384 else (1, 4)
-    slope = run_marginal(lambda it: jax.device_get(chain(a, b, it)), lo, hi)
+    slope = run_marginal(lambda it: jax.device_get(chain(a, b, it)[:8]), lo, hi)
     bitops = 2.0 * n**3 / slope
     vs = (bitops / (2.0 * 4096**3 / REF_4096_S)) if n == 4096 else None
     emit(f"gf2_mul_{n}_{engine}", bitops / 1e12, "Tbit-op/s", slope, vs)

@@ -43,7 +43,7 @@ def main():
             x = core(x)
         return x
 
-    slope = run_marginal(lambda it: jax.device_get(chain(a, it)), 2, 22)
+    slope = run_marginal(lambda it: jax.device_get(chain(a, it)[:8]), 2, 22)
     gbps = n * w * 4 / slope / 1e9
     emit(f"mzd_{op}_{n}", slope * 1e6, "us", slope)
     print(f"# effective {gbps:.1f} GB/s touched", file=sys.stderr)

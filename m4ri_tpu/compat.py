@@ -241,3 +241,33 @@ mzd_print = lambda a: print(io.to_text(a))
 mzd_hash = matrix_hash
 djb_compile_ = djb_compile
 djb_apply_mzd = lambda prog, w, v: djb_apply(prog, v)
+
+
+# --- additions: remaining public surface ---------------------------------
+
+from .models.echelon import echelonize_naive as _echelonize_naive
+from .models.echelon import gauss_delayed as _gauss_delayed
+from .models.solve import pluq_solve_left as _pluq_solve_left
+from .utils.bits import word_to_str as m4ri_word_to_str  # noqa: F401
+
+
+def mzd_echelonize_naive(a, full=True):
+    return _echelonize_naive(a, full=full)
+
+
+def mzd_gauss_delayed(a, startcol=0, full=False):
+    return _gauss_delayed(a, start_col=startcol, full=full)
+
+
+def mzd_pluq_solve_left(a_factored, rank, p, q, b, cutoff=0, check=1):
+    return _pluq_solve_left(a_factored, p, q, rank, b)
+
+
+mzd_cmp = bitops.cmp
+mzd_copy_row = lambda m, dst, src_mat, src: bitops.copy_row(m, dst, src_mat, src)
+mzd_row_clear_offset = bitops.row_clear_offset
+mzd_first_zero_row = bitops.first_zero_row
+
+
+def mzd_fprint_row(a, i):
+    print(io.to_text(submatrix(a, i, 0, i + 1, a.ncols)))

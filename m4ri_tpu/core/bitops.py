@@ -167,3 +167,52 @@ def set_ui(m: BitMatrix, value: int) -> BitMatrix:
 
 def copy(m: BitMatrix) -> BitMatrix:
     return BitMatrix(m.data, m.ncols)
+
+
+def copy_row(m: BitMatrix, dst, src_mat: BitMatrix, src) -> BitMatrix:
+    """row[dst] = src_mat.row[src] (mzd_copy_row)."""
+    return BitMatrix(m.data.at[dst].set(src_mat.data[src]), m.ncols)
+
+
+def row_clear_offset(m: BitMatrix, row, offset) -> BitMatrix:
+    """Zero row bits at columns >= offset (mzd_row_clear_offset)."""
+    offset = jnp.asarray(offset)
+    w0, s = offset // WORD_BITS, (offset % WORD_BITS).astype(jnp.uint32)
+    widx = jnp.arange(m.width)
+    keep = jnp.where(
+        widx < w0, jnp.uint32(0xFFFFFFFF),
+        jnp.where(widx == w0, ~(jnp.uint32(0xFFFFFFFF) << s), jnp.uint32(0)))
+    return BitMatrix(m.data.at[row].set(m.data[row] & keep), m.ncols)
+
+
+def row_combine(m: BitMatrix, dst, srcs) -> BitMatrix:
+    """row[dst] = XOR of the listed source rows (reference analogue:
+    _mzd_combine_N, xor.h:96-122 — the N-ary XOR kernel family)."""
+    acc = jnp.zeros((m.width,), jnp.uint32)
+    for s in srcs:
+        acc = acc ^ m.data[s]
+    return BitMatrix(m.data.at[dst].set(acc), m.ncols)
+
+
+def cmp(a: BitMatrix, b: BitMatrix) -> jax.Array:
+    """Lexicographic compare like mzd_cmp: -1/0/1 scanning rows then words
+    (top row, low word = most significant)."""
+    assert a.shape == b.shape
+    fa = a.data.reshape(-1)
+    fb = b.data.reshape(-1)
+    diff = fa != fb
+    any_diff = jnp.any(diff)
+    first = jnp.argmax(diff)
+    va, vb = fa[first], fb[first]
+    return jnp.where(~any_diff, 0, jnp.where(va < vb, -1, 1)).astype(jnp.int32)
+
+
+def first_zero_row(m: BitMatrix) -> jax.Array:
+    """Index of the first all-zero row scanning from the BOTTOM up, i.e.
+    the number of leading nonzero rows if the zero rows form a tail
+    (mzd_first_zero_row, mzd.c semantics: rows after it are all zero)."""
+    nonzero = jnp.any(m.data != 0, axis=1)
+    # last nonzero row index + 1 (0 if all zero)
+    idx = jnp.arange(m.nrows, dtype=jnp.int32)
+    last_nz = jnp.max(jnp.where(nonzero, idx + 1, 0))
+    return last_nz

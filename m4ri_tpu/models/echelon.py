@@ -184,3 +184,43 @@ def invert(a: BitMatrix, nb: int | None = None):
     k = jnp.arange(min(aug.nrows, aug.ncols), dtype=jnp.int32)
     r_a = jnp.sum(((k < r) & (q[: k.shape[0]] < n)).astype(jnp.int32))
     return submatrix(rref, 0, n, n, 2 * n), r_a
+
+
+@functools.partial(jax.jit, static_argnames=("full", "start_col"))
+def echelonize_naive(a: BitMatrix, full: bool = True, start_col: int = 0):
+    """Straightforward Gauss elimination, one pivot per fori step —
+    an engine-independent cross-validation path (reference API:
+    mzd_echelonize_naive, and with start_col > 0, mzd_gauss_delayed).
+    Returns (matrix, rank)."""
+    m, n = a.nrows, a.ncols
+    ridx = jnp.arange(m, dtype=jnp.int32)
+
+    def step(c, st):
+        data, r = st
+        w = jnp.int32(c) // 32
+        s = (jnp.int32(c) % 32).astype(jnp.uint32)
+        col = (data[:, w] >> s) & 1
+        active = (col == 1) & (ridx >= r)
+        found = jnp.any(active)
+        piv = jnp.argmax(active).astype(jnp.int32)
+        rs = jnp.minimum(r, m - 1)
+        ps = jnp.where(found, piv, rs)
+        rowr, rowp = data[rs], data[ps]
+        data = data.at[rs].set(rowp).at[ps].set(rowr)
+        col = col.at[rs].set(col[ps]).at[ps].set(col[rs])
+        pivrow = data[rs]
+        if full:
+            elim = (col == 1) & (ridx != rs) & found
+        else:
+            elim = (col == 1) & (ridx > rs) & found
+        data = data ^ (elim.astype(jnp.uint32)[:, None] * pivrow[None, :])
+        return data, r + found.astype(jnp.int32)
+
+    data, r = jax.lax.fori_loop(start_col, n, step, (a.data, jnp.int32(0)))
+    return mask_padding(BitMatrix(data, n)), r
+
+
+def gauss_delayed(a: BitMatrix, start_col: int = 0, full: bool = False):
+    """Gauss elimination starting at a column (reference API:
+    mzd_gauss_delayed, mzd.c)."""
+    return echelonize_naive(a, full=full, start_col=start_col)

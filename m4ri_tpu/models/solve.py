@@ -108,3 +108,41 @@ def kernel_left(a: BitMatrix, nb: int | None = None):
     xbits = xbits * (~ispivot).astype(jnp.uint8)[None, :]
     count = n - r
     return mask_padding(BitMatrix(pack_bits(xbits), n)), count
+
+
+@functools.partial(jax.jit, static_argnames=())
+def pluq_solve_left(m: BitMatrix, p, q, r, b: BitMatrix):
+    """Solve A X = B given an existing PLUQ factorization of A (reference
+    API: mzd_pluq_solve_left, solve.c:55-120): M holds L strictly below the
+    diagonal and U on/above it, with P/Q the swap arrays and r the rank."""
+    import jax.numpy as jnp
+    mm, n = m.nrows, m.ncols
+    rmax = min(mm, n)
+    bits = unpack_bits(m.data, jnp.uint8)[:, :n]
+    iidx = jnp.arange(mm, dtype=jnp.int32)
+    kidx = jnp.arange(rmax, dtype=jnp.int32)
+    jcol = jnp.arange(n, dtype=jnp.int32)
+
+    lmask = (iidx[:, None] > kidx[None, :]) & (kidx[None, :] < r)
+    lbits = jnp.zeros((mm, mm), jnp.uint8)
+    lbits = lbits.at[:, :rmax].set(bits[:, :rmax] & lmask.astype(jnp.uint8))
+    lbits = lbits | jnp.eye(mm, dtype=jnp.uint8)
+    lfull = BitMatrix(pack_bits(lbits), mm)
+
+    bp = apply_p_left(b, p)
+    y = trsm_lower_left(lfull, bp)
+    consistent = jnp.all(y.data * (iidx >= r)[:, None].astype(jnp.uint32) == 0)
+
+    ubits = jnp.zeros((n, n), jnp.uint8)
+    upper = (jcol[None, :] >= kidx[:, None]).astype(jnp.uint8)
+    ubits = ubits.at[:rmax, :].set(bits[:rmax] * upper)
+    ubits = ubits | (jnp.eye(n, dtype=jnp.uint8)
+                     * (jcol >= r).astype(jnp.uint8)[None, :])
+    ufull = BitMatrix(pack_bits(ubits), n)
+
+    ydata = y.data[:rmax] * (kidx < r)[:, None].astype(jnp.uint32)
+    ypad = jnp.zeros((n, width_for(b.ncols)), jnp.uint32)
+    ypad = ypad.at[:rmax].set(ydata)
+    xp = trsm_upper_left(ufull, BitMatrix(ypad, b.ncols))
+    x = apply_p_left_trans(xp, q)
+    return mask_padding(x), consistent

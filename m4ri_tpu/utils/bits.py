@@ -55,3 +55,9 @@ def parity64(buf: np.ndarray) -> np.ndarray:
     parity of buf[i]."""
     pc = np.bitwise_count(buf.astype(np.uint64)) & 1
     return int(sum(int(b) << i for i, b in enumerate(pc)))
+
+
+def word_to_str(w: int, bits: int = WORD_BITS) -> str:
+    """ASCII rendering of a word, LSB first, '1'/' ' like m4ri_word_to_str
+    (misc.c:43-56)."""
+    return "".join("1" if (w >> i) & 1 else " " for i in range(bits))

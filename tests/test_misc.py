@@ -103,3 +103,47 @@ def test_word_bit_utils():
     assert not lesser_lsb(0, 5) and lesser_lsb(5, 0)
     buf = np.array([3, 1, 7], dtype=np.uint64)
     assert parity64(buf) == 0b110  # popcounts 2,1,3 -> parities 0,1,1
+
+
+def test_new_row_apis(rng):
+    a = random_dense(rng, 8, 70)
+    A = m4.from_numpy(a)
+    B = bitops.copy_row(A, 2, A, 5)
+    expect = a.copy(); expect[2] = expect[5]
+    np.testing.assert_array_equal(m4.to_numpy(B), expect)
+    C = bitops.row_clear_offset(A, 3, 33)
+    expect = a.copy(); expect[3, 33:] = 0
+    np.testing.assert_array_equal(m4.to_numpy(C), expect)
+    D = bitops.row_combine(A, 0, [1, 4, 6])
+    expect = a.copy(); expect[0] = expect[1] ^ expect[4] ^ expect[6]
+    np.testing.assert_array_equal(m4.to_numpy(D), expect)
+    assert int(bitops.cmp(A, A)) == 0
+    b2 = a.copy(); b2[0, 0] ^= 1
+    assert int(bitops.cmp(A, m4.from_numpy(b2))) != 0
+    z = np.zeros((6, 10), np.uint8); z[:4] = random_dense(rng, 4, 10) | np.eye(4, 10, dtype=np.uint8).astype(np.uint8)
+    assert int(bitops.first_zero_row(m4.from_numpy(z))) <= 4
+
+
+def test_echelonize_naive_and_gauss_delayed(rng):
+    from m4ri_tpu.models.echelon import echelonize_naive, gauss_delayed
+    import oracle
+    a = random_dense(rng, 60, 90)
+    R, r = echelonize_naive(m4.from_numpy(a), full=True)
+    np.testing.assert_array_equal(m4.to_numpy(R), oracle.rref(a))
+    assert int(r) == oracle.rank(a)
+    # gauss_delayed from column 20: ranks of the right part
+    R2, r2 = gauss_delayed(m4.from_numpy(a), start_col=20)
+    assert int(r2) == oracle.rank(a[:, 20:])
+
+
+def test_pluq_solve_left(rng):
+    from m4ri_tpu.models.ple import pluq
+    from m4ri_tpu.models.solve import pluq_solve_left
+    import oracle
+    a = random_dense(rng, 64, 64)
+    x0 = random_dense(rng, 64, 10)
+    b = oracle.mul(a, x0).astype(np.uint8)
+    M, P, Q, r = pluq(m4.from_numpy(a))
+    X, ok = pluq_solve_left(M, P, Q, r, m4.from_numpy(b))
+    assert bool(ok)
+    np.testing.assert_array_equal(oracle.mul(a, m4.to_numpy(X)), b)
