@@ -56,11 +56,15 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
     A = jnp.zeros((m_pad, w_pad), jnp.uint32)
     A = A.at[: data.shape[0], : data.shape[1]].set(data)
     P = jnp.arange(m_pad, dtype=jnp.int32)
-    Q = jnp.arange(n_pad, dtype=jnp.int32)
+    # Q gets nb slack so the per-panel dynamic_update at offset r_in can
+    # never clamp (r_in <= n_pad)
+    Q = jnp.arange(n_pad + nb, dtype=jnp.int32)
     ridx = jnp.arange(m_pad, dtype=jnp.int32)
     eye_nb = jnp.eye(nb, dtype=jnp.int8)
     widx = jnp.arange(w_pad, dtype=jnp.int32)
     jrow = jnp.arange(nb, dtype=jnp.int32)
+
+    valid_rows = ridx < m  # static per shape
 
     def panel(carry, t):
         A, P, Q, r = carry
@@ -72,36 +76,43 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
         # records of the swap endpoints, to apply the permutation to the
         # rest of A by touching only the <= 2*nb affected rows
         touched = jnp.zeros((2 * nb,), jnp.int32)
+        # per-panel pivot records; scattered into P/Q once at panel end
+        p_pan = jnp.zeros((nb,), jnp.int32)
+        q_pan = jnp.zeros((nb,), jnp.int32)
 
         def colstep(j, st):
-            Apanel, Lp, rowperm, P, Q, r, touched = st
+            # Hot sequential loop: every op here runs n times total, so the
+            # body is trimmed to a minimum (single min-reduction pivot
+            # search, swap gathers reused, bookkeeping on (nb,) arrays).
+            Apanel, Lp, rowperm, r, touched, p_pan, q_pan = st
             wloc = j // WORD_BITS
             sh = jnp.uint32(j % WORD_BITS)
             col = (jnp.take(Apanel, wloc, axis=1) >> sh) & 1
-            active = (col == 1) & (ridx >= r) & (ridx < m)
+            cand = (col == 1) & (ridx >= r) & valid_rows
             if search_window:
                 # restricted pivot search (reference analogue:
                 # _mzd_top_echelonize_m4ri searches only r..r+kk,
                 # brilliantrussian.c:875)
-                active = active & (ridx < r + search_window)
-            found = jnp.any(active)
-            piv = jnp.argmax(active).astype(jnp.int32)
+                cand = cand & (ridx < r + search_window)
+            first = jnp.min(jnp.where(cand, ridx, jnp.int32(m_pad)))
+            found = first < m_pad
             rs = jnp.minimum(r, m_pad - 1)
-            ps = jnp.where(found, piv, rs)
+            ps = jnp.where(found, first, rs)
 
-            def swap2(x):
-                xr, xp = x[rs], x[ps]
-                return x.at[rs].set(xp).at[ps].set(xr)
+            ap_rs, ap_ps = Apanel[rs], Apanel[ps]
+            Apanel = Apanel.at[rs].set(ap_ps).at[ps].set(ap_rs)
+            lp_rs, lp_ps = Lp[rs], Lp[ps]
+            Lp = Lp.at[rs].set(lp_ps).at[ps].set(lp_rs)
+            rp_rs, rp_ps = rowperm[rs], rowperm[ps]
+            rowperm = rowperm.at[rs].set(rp_ps).at[ps].set(rp_rs)
 
-            Apanel = swap2(Apanel)
-            Lp = swap2(Lp)
-            rowperm = swap2(rowperm)
-            col = swap2(col)
-            touched = touched.at[2 * j].set(rs).at[2 * j + 1].set(ps)
-            P = P.at[rs].set(jnp.where(found, ps, P[rs]))
-            c_glob = t * nb + j
-            Q = Q.at[rs].set(jnp.where(found, c_glob, Q[rs]))
-            pivrow = Apanel[rs]
+            touched = lax.dynamic_update_slice(
+                touched, jnp.stack([rs, ps]), (2 * j,))
+            slot = r - r_in
+            p_pan = p_pan.at[slot].set(ps, mode="drop")
+            q_pan = q_pan.at[slot].set(t * nb + j, mode="drop")
+
+            pivrow = ap_ps  # the row now sitting at position rs
             if preserve_l:
                 # keep columns <= j intact (reference: row_add from col j+1)
                 gt = ~(((jnp.uint32(1) << sh) << 1) - 1)  # bits > sh
@@ -111,16 +122,31 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
                 elim_row = pivrow & wmask
             else:
                 elim_row = pivrow
-            elim = (col == 1) & (ridx > r) & found
+            # post-swap elimination mask from the pre-swap column bits:
+            # rows > r keep their bit except position ps which received
+            # the old row rs (excluded anyway: col[rs] refers to the pivot
+            # slot and rows > r excludes rs <= r)
+            elim = col.at[ps].set(col[rs])
+            elim = (elim == 1) & (ridx > r) & found
             em = elim.astype(jnp.uint32)
             Apanel = Apanel ^ (em[:, None] * elim_row[None, :])
             Lp = lax.dynamic_update_slice(
-                Lp, elim.astype(jnp.uint8)[:, None], (0, r - r_in))
+                Lp, elim.astype(jnp.uint8)[:, None], (0, slot))
             r = r + found.astype(jnp.int32)
-            return (Apanel, Lp, rowperm, P, Q, r, touched)
+            return (Apanel, Lp, rowperm, r, touched, p_pan, q_pan)
 
-        Apanel, Lp, rowperm, P, Q, r, touched = lax.fori_loop(
-            0, nb, colstep, (Apanel, Lp, rowperm, P, Q, r, touched))
+        Apanel, Lp, rowperm, r, touched, p_pan, q_pan = lax.fori_loop(
+            0, nb, colstep,
+            (Apanel, Lp, rowperm, r, touched, p_pan, q_pan))
+
+        # commit the panel's pivot records into the global swap arrays
+        rank_panel_ = r - r_in
+        kslot = jnp.arange(nb, dtype=jnp.int32)
+        live = kslot < rank_panel_
+        p_old = lax.dynamic_slice(P, (r_in,), (nb,))
+        q_old = lax.dynamic_slice(Q, (r_in,), (nb,))
+        P = lax.dynamic_update_slice(P, jnp.where(live, p_pan, p_old), (r_in,))
+        Q = lax.dynamic_update_slice(Q, jnp.where(live, q_pan, q_old), (r_in,))
 
         # apply the row permutation to the rest of A: only the swap
         # endpoints moved (<= 2*nb rows), so gather/scatter just those
