@@ -24,14 +24,14 @@ def __getattr__(name):
         from .models import ple as _m
         return getattr(_m, name)
     if name in ("echelonize", "echelonize_pluq", "top_echelonize", "rank",
-                "invert"):
+                "invert", "echelonize_naive", "gauss_delayed"):
         from .models import echelon as _m
         return getattr(_m, name)
     if name in ("trsm_lower_left", "trsm_upper_left", "trsm_lower_right",
                 "trsm_upper_right", "trtri_upper", "trtri_lower"):
         from .models import triangular as _m
         return getattr(_m, name)
-    if name in ("solve_left", "kernel_left"):
+    if name in ("solve_left", "kernel_left", "pluq_solve_left"):
         from .models import solve as _m
         return getattr(_m, name)
     if name in ("mul_m4rm", "addmul_m4rm"):
