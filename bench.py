@@ -51,7 +51,7 @@ def bench_mul(n: int = 4096, samples: int = 5):
 
     lo, hi = 2, 12
     if n >= 16384:
-        lo, hi = 1, 4
+        lo, hi = 1, 5
 
     # device_get forces real completion (block_until_ready returns early
     # under the axon relay, and even jnp.sum costs minutes of tunnel
@@ -68,9 +68,9 @@ def bench_mul(n: int = 4096, samples: int = 5):
         return time.perf_counter() - t0
 
     slopes = []
-    for _ in range(samples):
-        t_lo = min(timed(lo) for _ in range(2))
-        t_hi = min(timed(hi) for _ in range(2))
+    for _ in range(max(samples, 7)):
+        t_lo = min(timed(lo) for _ in range(3))
+        t_hi = min(timed(hi) for _ in range(3))
         slopes.append((t_hi - t_lo) / (hi - lo))
     return float(np.median(slopes))
 
