@@ -49,7 +49,9 @@ def bench_mul(n: int = 4096, samples: int = 5):
             a = mul_packed_data(a, b)
         return a
 
-    lo, hi = 2, 12
+    # Small chain programs: the remote-compile service has high and
+    # variable latency, roughly proportional to program size.
+    lo, hi = 1, 9
     if n >= 16384:
         lo, hi = 1, 5
 
@@ -60,7 +62,9 @@ def bench_mul(n: int = 4096, samples: int = 5):
     def run(iters):
         return jax.device_get(chain(a, b, iters)[:8])
 
+    print(f"# compiling chains ({lo},{hi}) for n={n}...", file=sys.stderr)
     run(lo), run(hi)  # compile + warm both trip counts
+    print("# compiled; sampling", file=sys.stderr)
 
     def timed(iters):
         t0 = time.perf_counter()
