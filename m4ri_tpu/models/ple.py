@@ -9,7 +9,18 @@ factorization with MXU Schur updates*:
   a fori_loop performs the canonical pivot hunt (columns left to right, first
   row >= rank with a 1 — the same pivot order as the reference
   `_mzd_ple_naive`, ple.c:223-273, so P/Q are reproduced exactly) using
-  branchless masked vector ops over all rows.
+  branchless masked vector ops.  The sequential loop runs only on a W-row
+  *window* at positions r..r+W (reference analogue: ple_russian.c:119-188
+  confines the serial Gray-code work to a bounded window for the same
+  reason); rows outside the window are eliminated afterwards in one batched
+  MXU step (multipliers lambda = X_piv @ U_piv^{-1} via the nilpotent
+  series).  Exactness: every window candidate precedes every outside row in
+  position order, so the window pivot *is* the canonical pivot whenever the
+  window has one; the only failure mode — a column where the window has no
+  candidate but an outside row does — is detected exactly from the batched
+  residuals (at the first such column the fully-reduced outside bit equals
+  the candidate bit) and triggers a lax.cond fallback that reruns the panel
+  with a full-height window.
 - The panel's unit-lower transform L11 is inverted with the nilpotent series
   (log2(NB) small MXU products) instead of sequential substitution, giving
   the panel's U rows in one multiply; the trailing Schur update is a single
@@ -43,12 +54,136 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("m", "n", "nb", "preserve_l",
-                                             "search_window"))
-def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
-                       search_window: int = 0):
+def _dot2(a, b):
+    """int8 @ int8 mod 2 -> int8 (exact int32 accumulation on the MXU)."""
+    return (lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+            & 1).astype(jnp.int8)
+
+
+def _unit_upper_inv(nilp, eye, steps: int):
+    """(I + N)^{-1} for nilpotent N via the product form
+    prod_i (I + N^(2^i)) — log-depth small MXU products."""
+    s, p = eye ^ nilp, nilp
+    for _ in range(steps):
+        p = _dot2(p, p)
+        s = s ^ _dot2(p, s)
+    return s
+
+
+def _make_colstep(h: int, nb: int, base, t, r_in, m: int, preserve_l: bool,
+                  search_window: int):
+    """One canonical pivot step on an h-row slice AL = [panel | L]
+    (packed words) whose row 0 sits at global position `base`.  Every
+    op here runs n times total, so the body is trimmed to a minimum:
+    a single min-reduction pivot search on an h-vector, a 2-row swap,
+    and one fused outer-product XOR that updates the panel words and
+    the L multiplier words together."""
     nbw = nb // WORD_BITS
-    m_pad = _round_up(m, nb) + nb
+    idx = jnp.arange(h, dtype=jnp.int32)
+    lane = jnp.arange(2 * nbw, dtype=jnp.int32)
+    panel_lane = lane < nbw
+
+    def colstep(j, st):
+        AL, rowperm, r, touched, p_pan, q_pan = st
+        wloc = j // WORD_BITS
+        sh = (j % WORD_BITS).astype(jnp.uint32)
+        col = (jnp.take(AL, wloc, axis=1) >> sh) & 1
+        pos = base + idx
+        cand = (col == 1) & (pos >= r) & (pos < m)
+        if search_window:
+            # restricted pivot search (reference analogue:
+            # _mzd_top_echelonize_m4ri searches only r..r+kk,
+            # brilliantrussian.c:875)
+            cand = cand & (pos < r + search_window)
+        first = jnp.min(jnp.where(cand, idx, jnp.int32(h)))
+        found = first < h
+        rs = jnp.minimum(r - base, h - 1)
+        ps = jnp.where(found, first, rs)
+
+        al_rs, al_ps = AL[rs], AL[ps]
+        AL = AL.at[rs].set(al_ps).at[ps].set(al_rs)
+        rp_rs, rp_ps = rowperm[rs], rowperm[ps]
+        rowperm = rowperm.at[rs].set(rp_ps).at[ps].set(rp_rs)
+
+        touched = lax.dynamic_update_slice(
+            touched, jnp.stack([rs, ps]), (2 * j,))
+        slot = r - r_in
+        p_pan = p_pan.at[slot].set(base + ps, mode="drop")
+        q_pan = q_pan.at[slot].set(t * nb + j, mode="drop")
+
+        pivrow = al_ps  # the row now sitting at position rs
+        if preserve_l:
+            # keep columns <= j intact (reference: row_add from col j+1)
+            gt = ~(((jnp.uint32(1) << sh) << 1) - 1)  # bits > sh
+            wmask = jnp.where(
+                lane > wloc, jnp.uint32(0xFFFFFFFF),
+                jnp.where(lane == wloc, gt, jnp.uint32(0)))
+            wmask = jnp.where(panel_lane, wmask, jnp.uint32(0))
+        else:
+            wmask = jnp.where(panel_lane, jnp.uint32(0xFFFFFFFF),
+                              jnp.uint32(0))
+        # the eliminated rows also record their multiplier bit: one
+        # extra set bit in the L half of the fused row
+        lbit = jnp.where(
+            lane == nbw + slot // WORD_BITS,
+            jnp.uint32(1) << (slot % WORD_BITS).astype(jnp.uint32),
+            jnp.uint32(0))
+        elim_row = (pivrow & wmask) | lbit
+        # post-swap elimination mask from the pre-swap column bits:
+        # rows > r keep their bit except position ps which received
+        # the old row rs (excluded anyway: col[rs] refers to the pivot
+        # slot and rows > r excludes rs <= r)
+        elim = col.at[ps].set(col[rs])
+        elim = (elim == 1) & (pos > r) & found
+        em = elim.astype(jnp.uint32)
+        AL = AL ^ (em[:, None] * elim_row[None, :])
+        r = r + found.astype(jnp.int32)
+        return (AL, rowperm, r, touched, p_pan, q_pan)
+
+    return colstep
+
+
+def run_panel_loop(panel_words, r, base, t, r_in, m: int, nb: int,
+                   preserve_l: bool, search_window: int, engine: str):
+    """The canonical nb-column pivot loop on an h-row window (row 0 at
+    global position `base`).  Shared by the single-chip factorization and
+    the distributed PLE (which runs it replicated on every device).
+    Returns (AL, rowperm, r, touched, p_pan, q_pan) with p/q global."""
+    h = panel_words.shape[0]
+    nbw = nb // WORD_BITS
+    AL0 = jnp.concatenate(
+        [panel_words, jnp.zeros((h, nbw), jnp.uint32)], axis=1)
+    # Mosaic pads the narrow lane dim to 128, so a (h, 2nbw) buffer costs
+    # h*128*4 bytes of VMEM; beyond h=8192 the full-height fallback loop
+    # must stay on the XLA path (measured: h=16896 hits the 16 MB scoped
+    # VMEM limit)
+    if engine != "xla" and h <= 8192:
+        from ..ops.pallas_panel import panel_loop
+        AL, rowperm, r2, touched, p_loc, q_loc = panel_loop(
+            AL0, r, base, jnp.int32(m), nb=nb, preserve_l=preserve_l,
+            search_window=search_window,
+            interpret=(engine == "pallas_interpret"))
+        return (AL, rowperm, r2, touched, base + p_loc, t * nb + q_loc)
+    st0 = (AL0, jnp.arange(h, dtype=jnp.int32), r,
+           jnp.zeros((2 * nb,), jnp.int32),
+           jnp.zeros((nb,), jnp.int32), jnp.zeros((nb,), jnp.int32))
+    return lax.fori_loop(
+        0, nb,
+        _make_colstep(h, nb, base, t, r_in, m, preserve_l, search_window),
+        st0)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n", "nb", "preserve_l",
+                                             "search_window", "window",
+                                             "engine"))
+def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
+                       search_window: int = 0, window: int = 0,
+                       engine: str = "xla"):
+    nbw = nb // WORD_BITS
+    W = window
+    assert W >= nb + search_window, (W, nb, search_window)
+    m_pad = _round_up(m, nb) + W
     n_pad = _round_up(n, nb)
     w_pad = n_pad // WORD_BITS
     n_panels = n_pad // nb
@@ -59,114 +194,115 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
     # Q gets nb slack so the per-panel dynamic_update at offset r_in can
     # never clamp (r_in <= n_pad)
     Q = jnp.arange(n_pad + nb, dtype=jnp.int32)
-    ridx = jnp.arange(m_pad, dtype=jnp.int32)
     eye_nb = jnp.eye(nb, dtype=jnp.int8)
     widx = jnp.arange(w_pad, dtype=jnp.int32)
     jrow = jnp.arange(nb, dtype=jnp.int32)
+    slotv = jnp.arange(nb, dtype=jnp.int32)
+    pos_all = jnp.arange(m_pad, dtype=jnp.int32)
+    steps = max(0, (nb - 1).bit_length() - 1)
 
-    valid_rows = ridx < m  # static per shape
+    def run_loop(h: int, base, t, r_in, r, panel_words):
+        return run_panel_loop(panel_words, r, base, t, r_in, m, nb,
+                              preserve_l, search_window, engine)
 
     def panel(carry, t):
         A, P, Q, r = carry
         r_in = r
         c0w = t * nbw
-        Apanel = lax.dynamic_slice(A, (0, c0w), (m_pad, nbw))
-        Lp = jnp.zeros((m_pad, nb), jnp.uint8)
-        rowperm = jnp.arange(m_pad, dtype=jnp.int32)
-        # records of the swap endpoints, to apply the permutation to the
-        # rest of A by touching only the <= 2*nb affected rows
-        touched = jnp.zeros((2 * nb,), jnp.int32)
-        # per-panel pivot records; scattered into P/Q once at panel end
-        p_pan = jnp.zeros((nb,), jnp.int32)
-        q_pan = jnp.zeros((nb,), jnp.int32)
+        Xw = lax.dynamic_slice(A, (0, c0w), (m_pad, nbw))  # stale panel words
 
-        def colstep(j, st):
-            # Hot sequential loop: every op here runs n times total, so the
-            # body is trimmed to a minimum (single min-reduction pivot
-            # search, swap gathers reused, bookkeeping on (nb,) arrays).
-            Apanel, Lp, rowperm, r, touched, p_pan, q_pan = st
-            wloc = j // WORD_BITS
-            sh = jnp.uint32(j % WORD_BITS)
-            col = (jnp.take(Apanel, wloc, axis=1) >> sh) & 1
-            cand = (col == 1) & (ridx >= r) & valid_rows
-            if search_window:
-                # restricted pivot search (reference analogue:
-                # _mzd_top_echelonize_m4ri searches only r..r+kk,
-                # brilliantrussian.c:875)
-                cand = cand & (ridx < r + search_window)
-            first = jnp.min(jnp.where(cand, ridx, jnp.int32(m_pad)))
-            found = first < m_pad
-            rs = jnp.minimum(r, m_pad - 1)
-            ps = jnp.where(found, first, rs)
+        # ---- fast path: sequential loop on the W-row window only ----
+        win = lax.dynamic_slice(Xw, (r_in, 0), (W, nbw))
+        ALw, rpw, r_f, touched_f, p_f, q_f = run_loop(W, r_in, t, r_in, r, win)
+        k_f = r_f - r_in
 
-            ap_rs, ap_ps = Apanel[rs], Apanel[ps]
-            Apanel = Apanel.at[rs].set(ap_ps).at[ps].set(ap_rs)
-            lp_rs, lp_ps = Lp[rs], Lp[ps]
-            Lp = Lp.at[rs].set(lp_ps).at[ps].set(lp_rs)
-            rp_rs, rp_ps = rowperm[rs], rowperm[ps]
-            rowperm = rowperm.at[rs].set(rp_ps).at[ps].set(rp_rs)
+        # ---- batched elimination of the rows below the window ----
+        live = slotv < k_f
+        cloc = jnp.where(live, q_f - t * nb, 0)         # local pivot columns
+        Pw = ALw[:nb]                                    # pivot-slot rows
+        Pbits = unpack_bits(Pw[:, :nbw], jnp.int8)       # in-place panel rows
+        urows = Pbits * live[:, None].astype(jnp.int8)
+        # one-hot pivot-column rows: E[s] = e_{cloc[s]}
+        E = ((cloc[:, None] == slotv[None, :]) & live[:, None]).astype(jnp.int8)
+        if preserve_l:
+            # the in-place pivot rows carry their own L multipliers at the
+            # *earlier* pivot columns; clear them to get the clean U rows
+            Lbits = unpack_bits(Pw[:, nbw:], jnp.int8)
+            u_clean = (urows ^ _dot2(Lbits, E)) * live[:, None].astype(jnp.int8)
+        else:
+            u_clean = urows
+        # U restricted to its pivot columns, in slot space: unit upper tri
+        # (column selection via one-hot MXU products, not gathers)
+        upiv = _dot2(u_clean, E.T)
+        npiv = upiv * (slotv[None, :] > slotv[:, None]).astype(jnp.int8)
+        T = _unit_upper_inv(npiv, eye_nb, steps)         # U_piv^{-1}
+        # multipliers for every row below the window: lambda = X_piv @ T
+        below = pos_all >= r_in + W
+        Xu = unpack_bits(Xw, jnp.int8)
+        xpiv = _dot2(Xu, E.T)
+        lam = _dot2(xpiv, T) * (live[None, :] & below[:, None]).astype(jnp.int8)
+        # eliminated panel values; preserve_l re-places lambda at the pivot
+        # columns (the reference's in-place L layout)
+        wmat = (u_clean ^ E) if preserve_l else u_clean
+        vbits = Xu ^ _dot2(lam, wmat)
+        # ---- exact miss check: a declared-non-pivot column where some
+        # below-window row still has a 1 means the canonical pivot was
+        # outside the window -> rerun this panel with a full-height window.
+        pivcol = jnp.zeros((nb,), jnp.bool_).at[
+            jnp.where(live, cloc, nb)].set(True, mode="drop")
+        validcol = (t * nb + slotv) < n
+        if search_window:
+            # restricted search never pivots outside the window by
+            # construction (r + search_window <= r_in + W), so a bare
+            # below-window 1 is legitimate
+            miss = jnp.bool_(False)
+        else:
+            miss = jnp.any((vbits != 0) & (~pivcol & validcol)[None, :]
+                           & (below & (pos_all < m))[:, None])
 
-            touched = lax.dynamic_update_slice(
-                touched, jnp.stack([rs, ps]), (2 * j,))
-            slot = r - r_in
-            p_pan = p_pan.at[slot].set(ps, mode="drop")
-            q_pan = q_pan.at[slot].set(t * nb + j, mode="drop")
+        vw = pack_bits(vbits)
+        lamw = pack_bits(lam)
+        selc = below[:, None]
+        panel_fast = lax.dynamic_update_slice(
+            jnp.where(selc, vw, Xw), ALw[:, :nbw], (r_in, 0))
+        lp_fast = lax.dynamic_update_slice(
+            jnp.where(selc, lamw, jnp.uint32(0)), ALw[:, nbw:], (r_in, 0))
 
-            pivrow = ap_ps  # the row now sitting at position rs
-            if preserve_l:
-                # keep columns <= j intact (reference: row_add from col j+1)
-                gt = ~(((jnp.uint32(1) << sh) << 1) - 1)  # bits > sh
-                wmask = jnp.where(
-                    jnp.arange(nbw) > wloc, jnp.uint32(0xFFFFFFFF),
-                    jnp.where(jnp.arange(nbw) == wloc, gt, jnp.uint32(0)))
-                elim_row = pivrow & wmask
-            else:
-                elim_row = pivrow
-            # post-swap elimination mask from the pre-swap column bits:
-            # rows > r keep their bit except position ps which received
-            # the old row rs (excluded anyway: col[rs] refers to the pivot
-            # slot and rows > r excludes rs <= r)
-            elim = col.at[ps].set(col[rs])
-            elim = (elim == 1) & (ridx > r) & found
-            em = elim.astype(jnp.uint32)
-            Apanel = Apanel ^ (em[:, None] * elim_row[None, :])
-            Lp = lax.dynamic_update_slice(
-                Lp, elim.astype(jnp.uint8)[:, None], (0, slot))
-            r = r + found.astype(jnp.int32)
-            return (Apanel, Lp, rowperm, r, touched, p_pan, q_pan)
+        def slow_branch(_):
+            # exact full-height panel sweep (the round-1 engine, now on the
+            # fused packed layout); runs only when the window missed
+            AL, rp, r_s, touched_s, p_s, q_s = run_loop(
+                m_pad, jnp.int32(0), t, r_in, r, Xw)
+            return (AL[:, :nbw], AL[:, nbw:], rp[touched_s], touched_s,
+                    p_s, q_s, r_s)
 
-        Apanel, Lp, rowperm, r, touched, p_pan, q_pan = lax.fori_loop(
-            0, nb, colstep,
-            (Apanel, Lp, rowperm, r, touched, p_pan, q_pan))
+        def fast_branch(_):
+            return (panel_fast, lp_fast, r_in + rpw[touched_f],
+                    r_in + touched_f, p_f, q_f, r_f)
+
+        panel_full, Lpw, srcp, dstp, p_pan, q_pan, r = lax.cond(
+            miss, slow_branch, fast_branch, None)
 
         # commit the panel's pivot records into the global swap arrays
-        rank_panel_ = r - r_in
-        kslot = jnp.arange(nb, dtype=jnp.int32)
-        live = kslot < rank_panel_
+        rank_panel = r - r_in
+        live2 = slotv < rank_panel
         p_old = lax.dynamic_slice(P, (r_in,), (nb,))
         q_old = lax.dynamic_slice(Q, (r_in,), (nb,))
-        P = lax.dynamic_update_slice(P, jnp.where(live, p_pan, p_old), (r_in,))
-        Q = lax.dynamic_update_slice(Q, jnp.where(live, q_pan, q_old), (r_in,))
+        P = lax.dynamic_update_slice(P, jnp.where(live2, p_pan, p_old),
+                                     (r_in,))
+        Q = lax.dynamic_update_slice(Q, jnp.where(live2, q_pan, q_old),
+                                     (r_in,))
 
         # apply the row permutation to the rest of A: only the swap
         # endpoints moved (<= 2*nb rows), so gather/scatter just those
-        moved = A[rowperm[touched]]
-        A = A.at[touched].set(moved, mode="drop")
-        A = lax.dynamic_update_slice(A, Apanel, (0, c0w))
+        moved = A[srcp]
+        A = A.at[dstp].set(moved, mode="drop")
+        A = lax.dynamic_update_slice(A, panel_full, (0, c0w))
 
         # --- U rows of this panel via nilpotent inversion of L11 ---
-        rank_panel = r - r_in
-        l11 = lax.dynamic_slice(Lp, (r_in, 0), (nb, nb)).astype(jnp.int8)
-        s = eye_nb ^ l11
-        p = l11
-        steps = max(0, (nb - 1).bit_length() - 1)
-        for _ in range(steps):
-            p = (lax.dot_general(p, p, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.int32)
-                 & 1).astype(jnp.int8)
-            s = s ^ (lax.dot_general(p, s, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.int32)
-                     & 1).astype(jnp.int8)
+        l11 = unpack_bits(
+            lax.dynamic_slice(Lpw, (r_in, 0), (nb, nbw)), jnp.int8)
+        s = _unit_upper_inv(l11, eye_nb, steps)
         a_block = lax.dynamic_slice(A, (r_in, 0), (nb, w_pad))
         au = unpack_bits(a_block, jnp.int8)
         u = (lax.dot_general(s, au, (((1,), (0,)), ((), ())),
@@ -177,8 +313,7 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
         up = up * (widx >= (t + 1) * nbw)[None, :].astype(jnp.uint32)
 
         # --- Schur update: A ^= Lp @ U (MXU product) ---
-        lp_packed = pack_bits(Lp)
-        delta = mul_packed_data(lp_packed, up)
+        delta = mul_packed_data(Lpw, up)
         A = A ^ delta
         return (A, P, Q, r), None
 
@@ -188,16 +323,33 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
 
 
 def block_factor(a: BitMatrix, preserve_l: bool, nb: int | None = None,
-                 search_window: int = 0):
+                 search_window: int = 0, window: int | None = None,
+                 engine: str | None = None):
     """Shared panel factorization.  Returns (data, P, Q, rank) where data is
     the in-place pre-compress layout: rows 0..r-1 are the echelon rows E
     (pivot i at column Q[i]); if preserve_l, the L multipliers are preserved
-    in the pivot columns below each pivot (reference pre-compress layout)."""
+    in the pivot columns below each pivot (reference pre-compress layout).
+
+    ``engine``: "pallas" (Mosaic pivot-loop kernel, TPU default), "xla"
+    (pure-XLA loop, CPU default), or "pallas_interpret" (kernel under the
+    Pallas interpreter — used by the CPU test suite to keep the TPU
+    production path covered)."""
+    import jax
+    cfg = get_config()
     if nb is None:
-        nb = get_config().panel_width
+        nb = cfg.panel_width
     nb = max(WORD_BITS, _round_up(min(nb, max(WORD_BITS, a.ncols)), WORD_BITS))
+    if window is None:
+        window = cfg.panel_window
+    # no point in a window taller than the padded matrix; never shorter
+    # than the panel (all pivot slots) plus any restricted-search depth
+    window = max(min(window, _round_up(a.nrows, nb)), nb + search_window)
+    if engine is None:
+        engine = "pallas" if (cfg.use_pallas_panel
+                              and jax.default_backend() == "tpu") else "xla"
     data, p, q, r = _block_factor_impl(
-        a.data, a.nrows, a.ncols, nb, preserve_l, search_window)
+        a.data, a.nrows, a.ncols, nb, preserve_l, search_window, window,
+        engine)
     return data, p, q, r
 
 

@@ -1,10 +1,15 @@
 """Hardware-derived tuning configuration.
 
 The reference library derives every algorithmic cutoff from CPU cache sizes
-detected at configure time (reference: m4ri_config.h.in, misc.h:569-599,
-strassen.h:133-135, ple.h:40).  The TPU build derives the analogous knobs from
-the JAX device at import time: VMEM-resident tile sizes, MXU-aligned block
-sizes, and Strassen/PLE crossover points.
+detected at configure time (reference: configure.ac:198-219 writes the
+detected L1/L2/L3 into m4ri_config.h, and misc.h:569-599 / strassen.h:133-135
+/ ple.h:40 turn them into cutoffs).  Here ``get_config()`` inspects the JAX
+backend once — platform, device kind, HBM size — and derives the analogous
+knobs: MXU block sizes bounding the unpacked/int32 intermediates in HBM,
+panel/window sizes for the factorization, Strassen crossover, and whether
+the Pallas kernels are available.  Every field can be overridden with an
+``M4RI_TPU_<FIELD>`` environment variable (the reference analogue of
+re-running configure with explicit cache sizes).
 
 All sizes are in *bits* (matrix dimensions) unless noted.
 """
@@ -13,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 WORD_BITS = 32  # TPU vector lanes are 32-bit; reference uses 64 (misc.h:87).
 
@@ -21,7 +27,9 @@ WORD_BITS = 32  # TPU vector lanes are 32-bit; reference uses 64 (misc.h:87).
 class Config:
     # Panel width for blocked PLE / echelonization (reference analogue:
     # kk = 6*k Gray-code round width, brilliantrussian.c:642-647).
-    panel_width: int = 128
+    # 256 measured best on v5e with the Mosaic pivot-loop kernel
+    # (rank 16384: 0.101 s vs 0.114 s at 128).
+    panel_width: int = 256
     # Block size for the MXU matmul k-dimension when the operands are too
     # large to unpack at once (reference analogue: __M4RI_MUL_BLOCKSIZE,
     # mzd.h:59 — babystep/giantstep blocking to keep tables L2 resident).
@@ -49,8 +57,71 @@ class Config:
     use_pallas_big: bool = True
     # Strassen recursion depth cap (compile size grows 7^levels).
     strassen_max_levels: int = 2
+    # Run the panel pivot loop as a single VMEM-resident Mosaic kernel on
+    # TPU (ops/pallas_panel.py) — the XLA lowering pays a ~2 us/column
+    # fori_loop floor that dominates large factorizations.
+    use_pallas_panel: bool = True
+    # Row-window height for the panel factorization's sequential pivot loop
+    # (models/ple.py).  The canonical pivot always lies in the first
+    # `window` active rows unless the window goes rank-deficient, which is
+    # detected exactly and falls back to a full-height panel sweep; 2x the
+    # panel width makes that fallback vanishingly rare for generic inputs
+    # while keeping the serial loop's working set VMEM-sized.
+    panel_window: int = 512
+    # Provenance of the derived values ("tpu:<kind>", "cpu", "default").
+    derived_from: str = "default"
+
+
+def _env_overrides(cfg: Config) -> Config:
+    updates = {}
+    for f in dataclasses.fields(Config):
+        raw = os.environ.get(f"M4RI_TPU_{f.name.upper()}")
+        if raw is None:
+            continue
+        if f.type in ("int", int):
+            updates[f.name] = int(raw)
+        elif f.type in ("bool", bool):
+            updates[f.name] = raw.lower() in ("1", "true", "yes", "on")
+        elif f.type in ("float", float):
+            updates[f.name] = float(raw)
+        else:
+            updates[f.name] = raw
+    return dataclasses.replace(cfg, **updates) if updates else cfg
+
+
+def _derive() -> Config:
+    """Inspect the backend (reference analogue: configure-time cache
+    detection) and pick block sizes so the blocked XLA path's transient
+    int32 product (mul_block_m x mul_block_k x 4 B) plus unpacked operands
+    stay a small fraction of device memory."""
+    try:
+        import jax
+        backend = jax.default_backend()
+        dev = jax.devices()[0]
+        kind = getattr(dev, "device_kind", backend) or backend
+    except Exception:  # pragma: no cover - no backend at all
+        return Config()
+    if backend == "tpu":
+        hbm = None
+        try:
+            stats = dev.memory_stats()
+            hbm = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        except Exception:
+            pass
+        hbm = hbm or 16 * 1024**3
+        # one unpacked int8 row block (bm x bk) + int32 partial product
+        # (bm x n/32 words) should use well under a quarter of HBM
+        blk = 8192 if hbm >= 12 * 1024**3 else 4096
+        return Config(mul_block_k=blk, mul_block_m=blk,
+                      mul_block_threshold=blk, strassen_cutoff=blk,
+                      derived_from=f"tpu:{kind}")
+    # CPU (tests / fallback): no Mosaic, smaller fused products
+    return Config(use_pallas_schur=False, use_pallas_big=False,
+                  use_pallas_panel=False, mul_block_k=4096, mul_block_m=4096,
+                  mul_block_threshold=4096, strassen_cutoff=4096,
+                  derived_from="cpu")
 
 
 @functools.lru_cache(maxsize=1)
 def get_config() -> Config:
-    return Config()
+    return _env_overrides(_derive())

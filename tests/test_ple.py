@@ -98,6 +98,48 @@ def test_pluq_reconstruction(rng, m, n):
     np.testing.assert_array_equal(lhs, rhs.astype(np.uint8))
 
 
+def _window_cases(rng):
+    """Structured inputs that stress the window pivot hunt: zero top blocks
+    (pivots beyond the window -> exact miss fallback), striped sparsity
+    (displacement shuffle dynamics), and low rank."""
+    z = np.zeros((100, 64), np.uint8)
+    dense = random_dense(rng, 60, 64)
+    yield "zero-top", np.concatenate([z, dense], axis=0)
+    stripes = random_dense(rng, 160, 64)
+    stripes[::2] = 0
+    yield "stripes", stripes
+    k = 20
+    lowrank = oracle.mul(random_dense(rng, 150, k),
+                         random_dense(rng, k, 96)).astype(np.uint8)
+    yield "low-rank", lowrank
+    mid = random_dense(rng, 180, 64)
+    mid[40:140] = 0
+    yield "zero-mid", mid
+    yield "random", random_dense(rng, 200, 96)
+
+
+@pytest.mark.parametrize("preserve_l", [False, True])
+def test_window_matches_full_height(rng, preserve_l):
+    """The windowed pivot hunt (including its batched below-window
+    elimination and the miss fallback) must reproduce the full-height
+    sequential engine bit for bit: same in-place data, P, Q, rank."""
+    from m4ri_tpu.models.ple import _round_up, block_factor
+    for name, a_np in _window_cases(rng):
+        A = m4.from_numpy(a_np)
+        full_w = _round_up(a_np.shape[0], 32)
+        got = block_factor(A, preserve_l=preserve_l, nb=32, window=32)
+        want = block_factor(A, preserve_l=preserve_l, nb=32, window=full_w)
+        for g, w, what in zip(got, want, ["data", "P", "Q", "rank"]):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(w), err_msg=f"{name}: {what}")
+
+
+def test_window_fallback_check_ple(rng):
+    """Full PLE reconstruction on inputs that force the miss fallback."""
+    for _, a_np in _window_cases(rng):
+        check_ple(a_np)
+
+
 @pytest.mark.parametrize("m,n", [(32, 32), (64, 100), (100, 64), (129, 129)])
 def test_compress_l_vectorized_matches_sequential(rng, m, n):
     """The pointer-chase compression must reproduce the reference's
