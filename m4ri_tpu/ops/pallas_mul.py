@@ -26,6 +26,8 @@ Design notes (all verified on TPU v5e):
 from __future__ import annotations
 
 import functools
+import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -129,8 +131,9 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tkw", "tnw"))
-def _mul_padded(at, bp, tm: int, tkw: int, tnw: int):
+@functools.partial(jax.jit, static_argnames=("tm", "tkw", "tnw", "interpret"))
+def _mul_padded(at, bp, tm: int, tkw: int, tnw: int,
+                interpret: bool = False):
     n_i, kw_pad, _ = at.shape
     n_j, k_pad, _ = bp.shape
     m = n_i * tm
@@ -142,8 +145,8 @@ def _mul_padded(at, bp, tm: int, tkw: int, tnw: int):
         _make_kernel(tm, tkw, tnw),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tm, tnw), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
@@ -160,18 +163,96 @@ def _mul_padded(at, bp, tm: int, tkw: int, tnw: int):
             flops=2 * m * (kw_pad * WORD_BITS) * (nw * WORD_BITS),
             bytes_accessed=(kw_pad * m + k_pad * nw + m * nw) * 4,
             transcendentals=0),
+        interpret=interpret,
     )(at, bp)
 
 
+# ---- per-shape tile autotune cache (reference analogue: configure-time
+# cache detection feeding __M4RI_MUL_BLOCKSIZE; here measured tiles keyed
+# by pow2-bucketed shape, persisted as JSON) ----
+
+_TUNE_PATH = os.environ.get(
+    "M4RI_TPU_AUTOTUNE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "m4ri_tpu",
+                 "autotune.json"))
+_TUNE: dict | None = None
+
+
+def _bucket(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def _tune_key(m: int, kw: int, nw: int) -> str:
+    return f"{_bucket(m)}x{_bucket(kw)}x{_bucket(nw)}"
+
+
+def _tune_cache() -> dict:
+    global _TUNE
+    if _TUNE is None:
+        try:
+            with open(_TUNE_PATH) as f:
+                _TUNE = json.load(f)
+        except (OSError, ValueError):
+            _TUNE = {}
+    return _TUNE
+
+
+def autotune(m: int, k: int, n: int, candidates=None, reps: int = 3):
+    """Measure the kernel over candidate (tm, tnw) tiles for this shape
+    bucket and persist the winner.  Returns the chosen (tm, tnw)."""
+    import time
+    kw, nw = (k + 31) // WORD_BITS, (n + 31) // WORD_BITS
+    if candidates is None:
+        candidates = [(128, 64), (128, 128), (256, 64), (256, 128),
+                      (256, 256), (512, 128)]
+    a = jax.random.bits(jax.random.PRNGKey(0), (m, kw), dtype=jnp.uint32)
+    b = jax.random.bits(jax.random.PRNGKey(1), (k, nw), dtype=jnp.uint32)
+    best, best_t = None, float("inf")
+    for tm, tnw in candidates:
+        def run(tm=tm, tnw=tnw):
+            jax.device_get(gf2_mul_pallas(a, b, tm=tm, tnw=tnw)[:8])
+        try:
+            run()  # compile + warm; skip infeasible tilings
+        except Exception:
+            continue
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run()
+            ts.append(time.perf_counter() - t0)
+        t = min(ts)
+        if t < best_t:
+            best, best_t = (tm, tnw), t
+    if best is not None:
+        cache = _tune_cache()
+        cache[_tune_key(m, kw, nw)] = list(best)
+        try:
+            os.makedirs(os.path.dirname(_TUNE_PATH), exist_ok=True)
+            with open(_TUNE_PATH, "w") as f:
+                json.dump(cache, f, indent=0, sort_keys=True)
+        except OSError:
+            pass
+    return best
+
+
 def gf2_mul_pallas(a_data: jnp.ndarray, b_data: jnp.ndarray,
-                   tm: int = TM, tnw: int = TNW) -> jnp.ndarray:
+                   tm: int | None = None, tnw: int | None = None,
+                   interpret: bool = False) -> jnp.ndarray:
     """Packed GF(2) product C = A*B.  a: uint32[m, kw], b: uint32[k, nw]
     with k <= kw*32 (padding bits zero).  Returns uint32[m, nw].
 
     The contraction chunk adapts to shallow k (no padding waste for the
-    panel-factorization Schur updates where kw = 4)."""
+    panel-factorization Schur updates where kw = 4); tm/tnw default to
+    the autotune cache entry for this shape bucket, else (TM, TNW)."""
     m, kw = a_data.shape
     k, nw = b_data.shape
+    if tm is None or tnw is None:
+        hit = _tune_cache().get(_tune_key(m, kw, nw))
+        if hit:
+            tm = tm or int(hit[0])
+            tnw = tnw or int(hit[1])
+        tm = tm or TM
+        tnw = tnw or TNW
     tkw = min(TKW, kw)
     m_pad = _round_up(m, tm)
     kw_pad = _round_up(kw, tkw)
@@ -189,5 +270,5 @@ def gf2_mul_pallas(a_data: jnp.ndarray, b_data: jnp.ndarray,
     # i/j-tile both operands so the kernel's DMA chunks are contiguous.
     at3 = at.reshape(kw_pad, m_pad // tm, tm).swapaxes(0, 1)
     bp3 = bp.reshape(k_pad, nw_pad // tnw, tnw).swapaxes(0, 1)
-    out = _mul_padded(at3, bp3, tm, tkw, tnw)
+    out = _mul_padded(at3, bp3, tm, tkw, tnw, interpret)
     return out[:m, :nw]

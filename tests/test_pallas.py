@@ -1,0 +1,123 @@
+"""Automated coverage for the Pallas production kernels.
+
+The fused GF(2) matmul kernel (ops/pallas_mul.py) and the panel pivot-loop
+kernel (ops/pallas_panel.py) are the TPU production paths for every large
+product / factorization, but the CPU suite never executed them in round 1
+(they are gated on jax.default_backend() == "tpu").  These tests run both
+under ``pallas_call(interpret=True)`` so a kernel or layout regression
+turns the suite red; mirror tests marked ``tpu`` run the real Mosaic
+lowering when M4RI_TPU_TEST_PLATFORM=tpu (reference analogue: every-engine
+cross-checking in tests/test_multiplication.c)."""
+
+import numpy as np
+import pytest
+
+import m4ri_tpu as m4
+from m4ri_tpu.ops.pallas_mul import gf2_mul_pallas
+
+import oracle
+from conftest import random_dense
+
+import jax
+
+ON_TPU = jax.default_backend() == "tpu"
+tpu_only = pytest.mark.skipif(not ON_TPU, reason="needs real TPU")
+
+
+def _mul_case(rng, m, k, n, tm, tnw, interpret):
+    a = random_dense(rng, m, k)
+    b = random_dense(rng, k, n)
+    A, B = m4.from_numpy(a), m4.from_numpy(b)
+    out = gf2_mul_pallas(A.data, B.data, tm=tm, tnw=tnw, interpret=interpret)
+    got = m4.to_numpy(m4.BitMatrix(out, n))
+    np.testing.assert_array_equal(got, oracle.mul(a, b),
+                                  err_msg=f"{m}x{k}x{n} tm={tm} tnw={tnw}")
+
+
+@pytest.mark.parametrize("m,k,n,tm,tnw", [
+    # shallow-k branch (Schur-update shape: kw <= 32)
+    (256, 128, 4096, 256, 128),
+    # deep contraction: multiple k-chunks through the double-buffered DMA
+    (256, 2048, 4096, 256, 32),
+    # multi-tile grid in both m and n, ragged edges
+    (300, 1100, 4200, 128, 32),
+])
+def test_pallas_mul_interpret(rng, m, k, n, tm, tnw):
+    _mul_case(rng, m, k, n, tm, tnw, interpret=True)
+
+
+def test_pallas_mul_b_row_permutation_interpret(rng):
+    """The plane-layout B-row permutation is the kernel's subtlest piece;
+    a structured B (single set bit per row block) pins it exactly."""
+    k, n = 1024, 4096
+    b = np.zeros((k, n), np.uint8)
+    b[np.arange(k), np.arange(k) % n] = 1  # shifted identity
+    a = random_dense(np.random.default_rng(5), 128, k)
+    A, B = m4.from_numpy(a), m4.from_numpy(b)
+    out = gf2_mul_pallas(A.data, B.data, tm=128, tnw=32, interpret=True)
+    np.testing.assert_array_equal(
+        m4.to_numpy(m4.BitMatrix(out, n)), oracle.mul(a, b))
+
+
+def test_pallas_panel_interpret_matches_xla(rng):
+    """block_factor with the Mosaic pivot-loop kernel (interpreted) must be
+    bit-identical to the XLA loop — data, P, Q and rank — including the
+    below-window batch elimination and the miss fallback."""
+    from m4ri_tpu.models.ple import block_factor
+    cases = []
+    a = random_dense(rng, 100, 64)
+    cases.append(a)
+    z = random_dense(rng, 160, 96)
+    z[10:90] = 0  # forces the miss fallback at W=32
+    cases.append(z)
+    for a_np in cases:
+        A = m4.from_numpy(a_np)
+        for pres in (False, True):
+            want = block_factor(A, preserve_l=pres, nb=32, window=32,
+                                engine="xla")
+            got = block_factor(A, preserve_l=pres, nb=32, window=32,
+                               engine="pallas_interpret")
+            for g, w, what in zip(got, want, ["data", "P", "Q", "rank"]):
+                np.testing.assert_array_equal(
+                    np.asarray(g), np.asarray(w),
+                    err_msg=f"preserve_l={pres}: {what}")
+
+
+@tpu_only
+def test_pallas_mul_tpu(rng):
+    _mul_case(rng, 512, 2048, 4096, 256, 32, interpret=False)
+
+
+@tpu_only
+def test_pallas_panel_tpu(rng):
+    from m4ri_tpu.models.ple import block_factor
+    a = random_dense(rng, 700, 300)
+    a[100:400] = 0
+    A = m4.from_numpy(a)
+    for pres in (False, True):
+        want = block_factor(A, preserve_l=pres, nb=128, window=256,
+                            engine="xla")
+        got = block_factor(A, preserve_l=pres, nb=128, window=256,
+                           engine="pallas")
+        for g, w, what in zip(got, want, ["data", "P", "Q", "rank"]):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                          err_msg=what)
+
+
+def test_autotune_cache_roundtrip(tmp_path, monkeypatch):
+    """The per-shape tile cache must persist and be consulted by
+    gf2_mul_pallas's default tile selection."""
+    import importlib
+    from m4ri_tpu.ops import pallas_mul as pm
+    monkeypatch.setattr(pm, "_TUNE_PATH", str(tmp_path / "tune.json"))
+    monkeypatch.setattr(pm, "_TUNE", None)
+    cache = pm._tune_cache()
+    cache[pm._tune_key(256, 4, 128)] = [128, 64]
+    # a lookup for a matching bucket returns the stored tiles: verify via
+    # a correct product through the interpreted kernel at those tiles
+    a = np.random.default_rng(0).integers(0, 2, (256, 128)).astype(np.uint8)
+    b = np.random.default_rng(1).integers(0, 2, (128, 4096)).astype(np.uint8)
+    A, B = m4.from_numpy(a), m4.from_numpy(b)
+    out = pm.gf2_mul_pallas(A.data, B.data, interpret=True)
+    np.testing.assert_array_equal(
+        m4.to_numpy(m4.BitMatrix(out, 4096)), oracle.mul(a, b))
