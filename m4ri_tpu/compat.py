@@ -85,12 +85,18 @@ def m4ri_random_word() -> int:
     return _GLOBAL_RNG["rng"].random_word()
 
 
+_RANDOMIZE_CALLS = [0]
+
+
 def mzd_randomize(a: BitMatrix) -> BitMatrix:
     """Uses the reference's glibc stream if m4ri_srandom was called, else
-    a fast jax.random fill."""
+    a fast jax.random fill.  Like the reference, every call advances the
+    stream: successive un-seeded calls fold a call counter into the key
+    instead of repeating PRNGKey(0)."""
     if _GLOBAL_RNG["rng"] is not None:
         return randomize_reference(a.nrows, a.ncols, rng=_GLOBAL_RNG["rng"])
-    return randomize(a.nrows, a.ncols, jax.random.PRNGKey(0))
+    _RANDOMIZE_CALLS[0] += 1
+    return randomize(a.nrows, a.ncols, jax.random.PRNGKey(_RANDOMIZE_CALLS[0]))
 
 
 def mzd_randomize_custom(a, rc, data=None):
@@ -194,12 +200,36 @@ def mzd_pluq(a, p=None, q=None, cutoff=0):
 
 
 def mzd_inv_m4ri(dst, src, k=0):
+    """Inversion; raises on singular input like the reference's
+    m4ri_die("A is not invertible") (brilliantrussian.c:984)."""
     inv, r = invert(src)
+    if int(r) != src.ncols:
+        raise ValueError(
+            f"mzd_inv_m4ri: matrix is not invertible (rank {int(r)} < "
+            f"{src.ncols})")
     return inv
 
 
 def mzd_solve_left(a, b, cutoff=0, inconsistency_check=1):
     return solve_left(a, b)
+
+
+def mzd_invert_naive(dst, src, identity_arg=None):
+    """Independent naive-Gauss inversion engine (reference:
+    mzd_invert_naive, mzd.c); returns None on singular input like the
+    reference returns NULL."""
+    from .models.echelon import invert_naive
+    inv, ok = invert_naive(src)
+    return inv if bool(ok) else None
+
+
+def mzd_mul_va(c, v, a, clear=True):
+    """Vector-matrix product C = v * A (reference: mzd_mul_va,
+    mzd.c:1256-1268); v is a 1 x m matrix."""
+    out = mul(v, a)
+    if not clear and c is not None:
+        out = add(c, out)
+    return out
 
 
 def mzd_kernel_left_pluq(a, cutoff=0):

@@ -195,11 +195,15 @@ def row_combine(m: BitMatrix, dst, srcs) -> BitMatrix:
 
 
 def cmp(a: BitMatrix, b: BitMatrix) -> jax.Array:
-    """Lexicographic compare like mzd_cmp: -1/0/1 scanning rows then words
-    (top row, low word = most significant)."""
+    """Lexicographic compare like mzd_cmp (mzd.c:1333-1361): -1/0/1 with
+    rows scanned top-down and, *within* a row, the high-index word most
+    significant ("columns with larger index are larger").  Reversing the
+    32-bit words per row reproduces the reference's 64-bit-word order
+    exactly: a 64-bit compare looks at its high half (our word 2j+1)
+    before its low half (our word 2j)."""
     assert a.shape == b.shape
-    fa = a.data.reshape(-1)
-    fb = b.data.reshape(-1)
+    fa = a.data[:, ::-1].reshape(-1)
+    fb = b.data[:, ::-1].reshape(-1)
     diff = fa != fb
     any_diff = jnp.any(diff)
     first = jnp.argmax(diff)

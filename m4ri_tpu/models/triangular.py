@@ -36,6 +36,17 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _clean_tri(t: BitMatrix, upper: bool) -> BitMatrix:
+    """Mask the input to the relevant (inclusive) triangle.  The reference
+    TRSM/TRTRI routines only ever *read* that triangle (e.g.
+    _mzd_trsm_upper_right_trtri first takes mzd_extract_u, and
+    mzd_pluq_solve_left hands the combined L\\U in-place matrix straight to
+    TRSM), so junk in the opposite triangle must not leak into the
+    nilpotent-series inverse."""
+    from ..core.bitops import _triangle_mask
+    return BitMatrix(t.data & _triangle_mask(t.ncols, upper), t.ncols)
+
+
 def _identity_data(n: int) -> jnp.ndarray:
     from ..core.bitmatrix import identity
     return identity(n).data
@@ -58,7 +69,12 @@ def _split(n: int) -> int:
     return _round_up(n // 2, WORD_BITS)
 
 
-def _trtri(t: BitMatrix, upper: bool) -> BitMatrix:
+def _trtri(t: BitMatrix, upper: bool, mul_fn=None) -> BitMatrix:
+    """2x2 word-aligned recursion; ``mul_fn`` lets the distributed layer
+    reuse the same structure with SUMMA mesh products
+    (parallel/dist_solve.py)."""
+    if mul_fn is None:
+        mul_fn = mul
     n = t.ncols
     assert t.nrows == n
     if n <= _BASE:
@@ -68,22 +84,87 @@ def _trtri(t: BitMatrix, upper: bool) -> BitMatrix:
     from ..core.bitmatrix import submatrix
     a = submatrix(t, 0, 0, n1, n1)
     d = submatrix(t, n1, n1, n, n)
-    ai = _trtri(a, upper)
-    di = _trtri(d, upper)
+    ai = _trtri(a, upper, mul_fn)
+    di = _trtri(d, upper, mul_fn)
     if upper:
         b = submatrix(t, 0, n1, n1, n)
-        tr = mul(mul(ai, b), di)  # Ai B Di (n1 x n2)
+        tr = mul_fn(mul_fn(ai, b), di)  # Ai B Di (n1 x n2)
         top = jnp.concatenate(
             [ai.data, jnp.pad(tr.data, ((0, 0), (0, 0)))], axis=1)
         bot = jnp.concatenate(
             [jnp.zeros((n - n1, w1), jnp.uint32), di.data], axis=1)
     else:
         c = submatrix(t, n1, 0, n, n1)
-        bl = mul(mul(di, c), ai)  # Di C Ai (n2 x n1)
+        bl = mul_fn(mul_fn(di, c), ai)  # Di C Ai (n2 x n1)
         top = jnp.concatenate(
             [ai.data, jnp.zeros((n1, width_for(n - n1)), jnp.uint32)], axis=1)
         bot = jnp.concatenate([bl.data, di.data], axis=1)
     return mask_padding(BitMatrix(jnp.concatenate([top, bot], axis=0), n))
+
+
+def _trsm_left_rec(t: BitMatrix, b: BitMatrix, upper: bool,
+                   mul_fn=None) -> BitMatrix:
+    """Solve T X = B by 2x2 block substitution WITHOUT forming T^{-1}
+    (the reference's actual TRSM recursion, triangular.c:396-516).  For a
+    narrow B this costs O(n^2 ncols(B)) MXU work instead of the O(n^3)
+    full inverse — the dominant win for mzd_solve_left's 2 triangular
+    solves.  Wide B still goes through TRTRI (one inverse, one product)."""
+    if mul_fn is None:
+        mul_fn = mul
+    n = t.ncols
+    if n <= _BASE or b.ncols * 4 >= n:
+        return mul_fn(_trtri(t, upper, mul_fn), b)
+    n1 = _split(n)
+    from ..core.bitmatrix import submatrix
+    a = submatrix(t, 0, 0, n1, n1)
+    d = submatrix(t, n1, n1, n, n)
+    b_top = submatrix(b, 0, 0, n1, b.ncols)
+    b_bot = submatrix(b, n1, 0, b.nrows, b.ncols)
+    if upper:
+        # [A B; 0 D] [X1; X2] = [R1; R2]
+        x2 = _trsm_left_rec(d, b_bot, upper, mul_fn)
+        off = submatrix(t, 0, n1, n1, n)
+        r1 = BitMatrix(b_top.data ^ mul_fn(off, x2).data, b.ncols)
+        x1 = _trsm_left_rec(a, r1, upper, mul_fn)
+    else:
+        # [A 0; C D] [X1; X2] = [R1; R2]
+        x1 = _trsm_left_rec(a, b_top, upper, mul_fn)
+        off = submatrix(t, n1, 0, n, n1)
+        r2 = BitMatrix(b_bot.data ^ mul_fn(off, x1).data, b.ncols)
+        x2 = _trsm_left_rec(d, r2, upper, mul_fn)
+    return mask_padding(BitMatrix(
+        jnp.concatenate([x1.data, x2.data], axis=0), b.ncols))
+
+
+def _trsm_right_rec(t: BitMatrix, b: BitMatrix, upper: bool,
+                    mul_fn=None) -> BitMatrix:
+    """Solve X T = B by 2x2 block substitution (narrow-row B variant of
+    the above; reference: triangular.c:41-111, 301-390)."""
+    if mul_fn is None:
+        mul_fn = mul
+    n = t.ncols
+    if n <= _BASE or b.nrows * 4 >= n:
+        return mul_fn(b, _trtri(t, upper, mul_fn))
+    n1 = _split(n)
+    from ..core.bitmatrix import submatrix
+    a = submatrix(t, 0, 0, n1, n1)
+    d = submatrix(t, n1, n1, n, n)
+    b_l = submatrix(b, 0, 0, b.nrows, n1)
+    b_r = submatrix(b, 0, n1, b.nrows, n)
+    if upper:
+        # [X1 X2] [A B; 0 D] = [R1 R2]: X1 A = R1; X2 D = R2 + X1 B
+        x1 = _trsm_right_rec(a, b_l, upper, mul_fn)
+        off = submatrix(t, 0, n1, n1, n)
+        r2 = BitMatrix(b_r.data ^ mul_fn(x1, off).data, n - n1)
+        x2 = _trsm_right_rec(d, r2, upper, mul_fn)
+    else:
+        # [X1 X2] [A 0; C D] = [R1 R2]: X2 D = R2; X1 A = R1 + X2 C
+        x2 = _trsm_right_rec(d, b_r, upper, mul_fn)
+        off = submatrix(t, n1, 0, n, n1)
+        r1 = BitMatrix(b_l.data ^ mul_fn(x2, off).data, n1)
+        x1 = _trsm_right_rec(a, r1, upper, mul_fn)
+    return mask_padding(BitMatrix(
+        jnp.concatenate([x1.data, x2.data], axis=1), n))
 
 
 # Public entry points are jitted: the recursion is O(log n) levels of
@@ -94,13 +175,13 @@ def _trtri(t: BitMatrix, upper: bool) -> BitMatrix:
 @jax.jit
 def trtri_upper(t: BitMatrix) -> BitMatrix:
     """U^{-1} for unit upper triangular U (reference: mzd_trtri_upper)."""
-    return _trtri(t, True)
+    return _trtri(_clean_tri(t, True), True)
 
 
 @jax.jit
 def trtri_lower(t: BitMatrix) -> BitMatrix:
     """L^{-1} for unit lower triangular L."""
-    return _trtri(t, False)
+    return _trtri(_clean_tri(t, False), False)
 
 
 @jax.jit
@@ -108,14 +189,14 @@ def trsm_upper_left(u: BitMatrix, b: BitMatrix) -> BitMatrix:
     """Solve U X = B, i.e. X = U^{-1} B (reference: mzd_trsm_upper_left,
     triangular.c:457-516)."""
     assert u.nrows == u.ncols == b.nrows
-    return mul(_trtri(u, True), b)
+    return _trsm_left_rec(_clean_tri(u, True), b, True)
 
 
 @jax.jit
 def trsm_lower_left(l: BitMatrix, b: BitMatrix) -> BitMatrix:
     """Solve L X = B (reference: mzd_trsm_lower_left, triangular.c:396-451)."""
     assert l.nrows == l.ncols == b.nrows
-    return mul(_trtri(l, False), b)
+    return _trsm_left_rec(_clean_tri(l, False), b, False)
 
 
 @jax.jit
@@ -123,11 +204,11 @@ def trsm_upper_right(u: BitMatrix, b: BitMatrix) -> BitMatrix:
     """Solve X U = B, i.e. X = B U^{-1} (reference: mzd_trsm_upper_right,
     triangular.c:41-111)."""
     assert u.nrows == u.ncols == b.ncols
-    return mul(b, _trtri(u, True))
+    return _trsm_right_rec(_clean_tri(u, True), b, True)
 
 
 @jax.jit
 def trsm_lower_right(l: BitMatrix, b: BitMatrix) -> BitMatrix:
     """Solve X L = B (reference: mzd_trsm_lower_right, triangular.c:301-390)."""
     assert l.nrows == l.ncols == b.ncols
-    return mul(b, _trtri(l, False))
+    return _trsm_right_rec(_clean_tri(l, False), b, False)

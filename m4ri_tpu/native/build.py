@@ -21,8 +21,12 @@ _lib = None
 _tried = False
 
 
-def build() -> str | None:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+def build(force: bool = False) -> str | None:
+    """Compile the library for *this* host.  The .so is never shipped in
+    the repo (it is built with -march=native, so a foreign binary could
+    SIGILL at call time); a stale or foreign file is simply rebuilt."""
+    if (not force and os.path.exists(_SO)
+            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
         return _SO
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC]
     try:
@@ -32,14 +36,8 @@ def build() -> str | None:
         return None
 
 
-def load():
-    global _lib, _tried
-    if _lib is not None or _tried:
-        return _lib
-    _tried = True
-    so = build()
-    if so is None:
-        return None
+def _open(so: str):
+    """dlopen + bind + a tiny selftest; any failure means 'no native'."""
     lib = ctypes.CDLL(so)
     u32p = ctypes.POINTER(ctypes.c_uint32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -53,8 +51,35 @@ def load():
     lib.gf2_srandom.argtypes = [ctypes.c_uint32]
     lib.gf2_random_word.restype = ctypes.c_uint64
     lib.gf2_randomize.argtypes = [u32p, i64, i64]
-    _lib = lib
+    # selftest: transpose of a 2x2 identity must round-trip
+    src = np.array([[1], [2]], np.uint32)
+    dst = np.zeros((2, 1), np.uint32)
+    lib.gf2_transpose(_u32(src), _u32(dst), 2, 2)
+    if dst.tolist() != [[1], [2]]:
+        raise OSError("gf2core selftest failed")
     return lib
+
+
+def load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    so = build()
+    if so is None:
+        return None
+    try:
+        _lib = _open(so)
+    except OSError:
+        # e.g. a leftover binary from another host: rebuild once, then
+        # fall back to the numpy paths
+        so = build(force=True)
+        if so is not None:
+            try:
+                _lib = _open(so)
+            except OSError:
+                _lib = None
+    return _lib
 
 
 def _u32(a: np.ndarray):

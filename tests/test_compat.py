@@ -69,3 +69,30 @@ def test_compat_trsm(rng):
     b = random_dense(rng, n, 32)
     X = m4ri.mzd_trsm_upper_left(m4.from_numpy(u), m4.from_numpy(b), 0)
     np.testing.assert_array_equal(oracle.mul(u, m4.to_numpy(X)), b)
+
+
+def test_randomize_advances_stream():
+    """Successive un-seeded mzd_randomize calls must differ (the reference
+    advances its RNG stream on every call)."""
+    from m4ri_tpu import compat
+    a = compat.mzd_init(32, 32)
+    m1 = compat.mzd_randomize(a)
+    m2 = compat.mzd_randomize(a)
+    assert not np.array_equal(m4.to_numpy(m1), m4.to_numpy(m2))
+
+
+def test_inv_m4ri_raises_on_singular(rng):
+    """The reference m4ri_die()s on non-invertible input; we raise."""
+    import pytest as _pytest
+    from m4ri_tpu import compat
+    a = np.zeros((16, 16), np.uint8)
+    a[0, 0] = 1  # rank 1
+    with _pytest.raises(ValueError, match="not invertible"):
+        compat.mzd_inv_m4ri(None, m4.from_numpy(a))
+    # and a genuinely invertible one still works
+    u = np.triu(random_dense(rng, 16, 16), 1)
+    np.fill_diagonal(u, 1)
+    inv = compat.mzd_inv_m4ri(None, m4.from_numpy(u))
+    import oracle
+    np.testing.assert_array_equal(
+        oracle.mul(u, m4.to_numpy(inv)), np.eye(16, dtype=np.uint8))

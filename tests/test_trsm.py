@@ -68,3 +68,29 @@ def test_trtri(rng, n):
     li = trtri_lower(m4.from_numpy(l))
     np.testing.assert_array_equal(oracle.mul(l, m4.to_numpy(li)),
                                   np.eye(n, dtype=np.uint8))
+
+
+@pytest.mark.parametrize("n", [64, 129, 600])
+def test_trsm_ignores_opposite_triangle(rng, n):
+    """The reference only reads the relevant triangle (e.g. mzd_pluq_solve_
+    left passes the combined in-place L\\U matrix to TRSM), so junk in the
+    opposite triangle must not change any result."""
+    u = unit_upper(rng, n)
+    junk = u | np.tril(random_dense(rng, n, n), -1)
+    b = random_dense(rng, n, 32)
+    for fn, mat, dirty in [
+        (trsm_upper_left, u, junk),
+        (trsm_lower_left, u.T.copy(), junk.T.copy()),
+        (trsm_upper_right, u, junk),
+        (trsm_lower_right, u.T.copy(), junk.T.copy()),
+    ]:
+        bb = b if "left" in fn.__name__ else b.T.copy()
+        clean = m4.to_numpy(fn(m4.from_numpy(mat), m4.from_numpy(bb)))
+        noisy = m4.to_numpy(fn(m4.from_numpy(dirty), m4.from_numpy(bb)))
+        np.testing.assert_array_equal(clean, noisy, err_msg=fn.__name__)
+    np.testing.assert_array_equal(
+        m4.to_numpy(trtri_upper(m4.from_numpy(u))),
+        m4.to_numpy(trtri_upper(m4.from_numpy(junk))))
+    np.testing.assert_array_equal(
+        m4.to_numpy(trtri_lower(m4.from_numpy(u.T.copy()))),
+        m4.to_numpy(trtri_lower(m4.from_numpy(junk.T.copy()))))
