@@ -27,17 +27,21 @@ from ..ops.mul import pack_bits, unpack_bits
 from .ple import block_factor
 from .triangular import trsm_upper_left
 
-# The public entry points below are jitted end-to-end (factorization +
-# RREF post-pass in one program): the post-pass alone is ~70 XLA ops and
-# the dev tunnel charges ~40 ms per eager dispatch.
+# The public entry points run as TWO jitted programs: the panel
+# factorization (its own jit inside block_factor — scan + cond + Mosaic
+# kernel) and the straight-line RREF post-pass below.  One combined
+# program pays a superlinear XLA optimization bill through the
+# remote-compile path (>16 min at n=16384 measured); split, the loop
+# program compiles in ~2 min cold and the straight-line pass in seconds,
+# at the cost of one extra ~40 ms dispatch.
 def _jit_shapes(fn):
     import inspect
     names = [p for p in inspect.signature(fn).parameters
-             if p in ("full", "nb", "k", "search_window")]
+             if p in ("full", "nb", "k", "search_window", "m", "n")]
     return functools.partial(jax.jit, static_argnames=tuple(names))(fn)
 
 __all__ = ["echelonize", "echelonize_pluq", "top_echelonize", "rank",
-           "invert"]
+           "invert", "invert_naive"]
 
 
 def _pivot_selection(q, r, n: int, rmax: int):
@@ -53,6 +57,7 @@ def _pivot_selection(q, r, n: int, rmax: int):
     return s
 
 
+@functools.partial(jax.jit, static_argnames=("m", "n"))
 def _rref_from_ref(data, q, r, m: int, n: int):
     """Top rows of REF -> RREF rows via U_rr^{-1} @ U.
 
@@ -99,7 +104,6 @@ def echelonize(a: BitMatrix, full: bool = True, nb: int | None = None,
     return _echelonize_m4ri(a, full, nb)
 
 
-@_jit_shapes
 def _echelonize_m4ri(a: BitMatrix, full: bool = True, nb: int | None = None):
     data, _, q, r = block_factor(a, preserve_l=False, nb=nb)
     if not full:
@@ -108,14 +112,18 @@ def _echelonize_m4ri(a: BitMatrix, full: bool = True, nb: int | None = None):
     return mask_padding(BitMatrix(out, a.ncols)), r
 
 
-@_jit_shapes
 def echelonize_pluq(a: BitMatrix, full: bool = True, nb: int | None = None):
     """(R)REF reconstructed from the PLE factorization (reference API:
     mzd_echelonize_pluq, echelonform.c:38-137): factor with L preserved in
     the pivot columns, then clear the L bits from the echelon rows."""
     m, n = a.nrows, a.ncols
-    rmax = min(m, n)
     data, _, q, r = block_factor(a, preserve_l=True, nb=nb)
+    return _pluq_echelon_post(data, q, r, m, n, full)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n", "full"))
+def _pluq_echelon_post(data, q, r, m: int, n: int, full: bool):
+    rmax = min(m, n)
     bits = unpack_bits(data[:rmax], jnp.uint8)[:, :n]
     # pivrank[c] = k if column c is the k-th pivot column else a big value
     k = jnp.arange(rmax, dtype=jnp.int32)
@@ -149,7 +157,6 @@ def top_echelonize(a: BitMatrix, k: int = 0, nb: int | None = None):
     return _top_echelonize_impl(a, 6 * k, nb)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "nb"))
 def _top_echelonize_impl(a: BitMatrix, window: int, nb: int | None):
     data, _, q, r = block_factor(a, preserve_l=False, nb=nb,
                                  search_window=window)
@@ -157,7 +164,6 @@ def _top_echelonize_impl(a: BitMatrix, window: int, nb: int | None):
     return mask_padding(BitMatrix(out, a.ncols)), r
 
 
-@_jit_shapes
 def echelonize_with_pivots(a: BitMatrix, nb: int | None = None):
     """RREF plus pivot-column swap array (used by kernel computation)."""
     data, _, q, r = block_factor(a, preserve_l=False, nb=nb)
@@ -170,19 +176,28 @@ def rank(a: BitMatrix, nb: int | None = None):
     return r
 
 
-@_jit_shapes
 def invert(a: BitMatrix, nb: int | None = None):
     """A^{-1} via RREF of [A | I] (reference: mzd_inv_m4ri).  Returns
     (inverse, rank); the inverse is valid iff rank == n."""
     n = a.ncols
     assert a.nrows == n, "inversion requires a square matrix"
-    aug = concat(a, identity(n))
+    aug = _augment(a, n)
     data, _, q, r = block_factor(aug, preserve_l=False, nb=nb)
-    out = _rref_from_ref(data, q, r, aug.nrows, aug.ncols)
-    rref = mask_padding(BitMatrix(out, aug.ncols))
+    return _invert_post(data, q, r, n)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _augment(a: BitMatrix, n: int) -> BitMatrix:
+    return concat(a, identity(n))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _invert_post(data, q, r, n: int):
+    out = _rref_from_ref(data, q, r, n, 2 * n)
+    rref = mask_padding(BitMatrix(out, 2 * n))
     # rank of A itself = pivots that fall in the left block
-    k = jnp.arange(min(aug.nrows, aug.ncols), dtype=jnp.int32)
-    r_a = jnp.sum(((k < r) & (q[: k.shape[0]] < n)).astype(jnp.int32))
+    k = jnp.arange(n, dtype=jnp.int32)
+    r_a = jnp.sum(((k < r) & (q[:n] < n)).astype(jnp.int32))
     return submatrix(rref, 0, n, n, 2 * n), r_a
 
 
@@ -224,3 +239,19 @@ def gauss_delayed(a: BitMatrix, start_col: int = 0, full: bool = False):
     """Gauss elimination starting at a column (reference API:
     mzd_gauss_delayed, mzd.c)."""
     return echelonize_naive(a, full=full, start_col=start_col)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def invert_naive(a: BitMatrix):
+    """Inversion through the one-pivot-per-step naive Gauss engine — the
+    independent cross-check path the reference's test_invert.c uses
+    (reference API: mzd_invert_naive, mzd.c / mzd.h).  Returns
+    (inverse, ok): ok is a traced bool, False iff A is singular (the
+    reference returns NULL then)."""
+    n = a.ncols
+    assert a.nrows == n, "inversion requires a square matrix"
+    aug = concat(a, identity(n))
+    red, _ = echelonize_naive(aug, full=True)
+    left = submatrix(red, 0, 0, n, n)
+    ok = jnp.all(left.data == identity(n).data)
+    return submatrix(red, 0, n, n, 2 * n), ok

@@ -4,11 +4,18 @@ Reference analogue: solve.c — mzd_solve_left (PLUQ, then P-apply, TRSM
 lower, consistency check, TRSM upper, Q^T-apply; solve.c:30-152) and
 mzd_kernel_left_pluq (solve.c:154-191).
 
-TPU-native shape discipline: the rank r is a traced scalar, so L and U are
-embedded into *static* full-size unit-triangular matrices (identity beyond
-rank) — the triangular solves then run on static shapes and masking recovers
-the rank-dependent semantics (free variables are set to zero, and rows >= r
-of the forward solve form the consistency residual).
+TPU-native shape discipline: the rank r is a traced scalar, so the
+factor shapes stay static and masking recovers the rank-dependent
+semantics (free variables are set to zero, and rows >= r of the forward
+solve form the consistency residual).
+
+Everything stays *packed*: L columns are pulled out of the in-place
+factorization with one MXU selection product (data @ S, the trick of
+echelon._pivot_selection) and masked with word-level triangle masks; the
+U back-solve collapses to an rmax x rmax system in pivot-slot space
+(U_piv = REF @ S), whose solution rows scatter to the pivot columns.
+No m x m or n x n unpacked intermediate is ever materialized (the
+reference solve.c:55-120 likewise works entirely in place).
 """
 
 from __future__ import annotations
@@ -18,17 +25,95 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..core.bitmatrix import BitMatrix, mask_padding, width_for
-from ..core.permutation import apply_p_left, apply_p_left_trans, swaps_to_perm
-from ..ops.mul import pack_bits, unpack_bits
-from .echelon import echelonize_with_pivots
+from ..core.bitmatrix import BitMatrix, identity, mask_padding, width_for
+from ..core.permutation import apply_p_left
+from ..ops.mul import mul_packed_data, pack_bits
+from ..utils.config import WORD_BITS
+from .echelon import _pivot_selection, echelonize_with_pivots
 from .ple import block_factor
 from .triangular import trsm_lower_left, trsm_upper_left
 
-__all__ = ["solve_left", "kernel_left"]
+__all__ = ["solve_left", "kernel_left", "pluq_solve_left"]
 
 
-@functools.partial(jax.jit, static_argnames=("nb",))
+def _keep_below(bounds: jnp.ndarray, nwords: int) -> jnp.ndarray:
+    """Packed row masks keeping bit positions k < bounds[i]."""
+    w = jnp.arange(nwords, dtype=jnp.int32)
+    rem = jnp.clip(bounds[:, None] - w[None, :] * WORD_BITS, 0, WORD_BITS)
+    return jnp.where(rem >= WORD_BITS, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << rem.astype(jnp.uint32))
+                     - jnp.uint32(1))
+
+
+def _pad_words(data: jnp.ndarray, nwords: int) -> jnp.ndarray:
+    if data.shape[1] < nwords:
+        return jnp.pad(data, ((0, 0), (0, nwords - data.shape[1])))
+    return data[:, :nwords]
+
+
+def _packed_l(data, q, r, m: int, rmax: int, n: int,
+              from_pivot_cols: bool) -> BitMatrix:
+    """Unit lower-triangular m x m L, packed, from the in-place factor.
+
+    from_pivot_cols: gather L[:, k] from column Q[k] via one selection
+    product (PLE layout); else L already sits in columns 0..rmax (PLUQ)."""
+    if from_pivot_cols:
+        s = _pivot_selection(q, r, n, rmax)
+        lcols = mul_packed_data(data, s)               # (m, w_rmax)
+    else:
+        lcols = _pad_words(data, width_for(rmax))
+    iidx = jnp.arange(m, dtype=jnp.int32)
+    lcols = lcols & _keep_below(jnp.minimum(iidx, r), lcols.shape[1])
+    lw = width_for(m)
+    return BitMatrix(_pad_words(lcols, lw) | identity(m).data, m)
+
+
+def _packed_upiv(top, q, r, rmax: int, n: int,
+                 from_pivot_cols: bool) -> BitMatrix:
+    """U restricted to its pivot columns, in slot space: rmax x rmax unit
+    upper triangular (identity beyond the rank), packed.  Junk below the
+    diagonal (the in-place L multipliers) is masked by the TRSM entry
+    point itself (triangular._clean_tri)."""
+    if from_pivot_cols:
+        s = _pivot_selection(q, r, n, rmax)
+        upiv = mul_packed_data(top, s)                 # (rmax, w_rmax)
+    else:
+        upiv = _pad_words(top, width_for(rmax))
+    k = jnp.arange(rmax, dtype=jnp.int32)
+    return BitMatrix(
+        upiv | identity(rmax).data
+        * (k >= r)[:, None].astype(jnp.uint32), rmax)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n",
+                                             "from_pivot_cols"))
+def _solve_from_factors(data, p, q, r, b: BitMatrix, m: int, n: int,
+                        from_pivot_cols: bool):
+    rmax = min(m, n)
+    kidx = jnp.arange(rmax, dtype=jnp.int32)
+    iidx = jnp.arange(m, dtype=jnp.int32)
+
+    lfull = _packed_l(data, q, r, m, rmax, n, from_pivot_cols)
+    bp = apply_p_left(b, p)
+    y = trsm_lower_left(lfull, bp)
+    residual = y.data * (iidx >= r)[:, None].astype(jnp.uint32)
+    consistent = jnp.all(residual == 0)
+
+    upiv = _packed_upiv(data[:rmax], q, r, rmax, n, from_pivot_cols)
+    ydata = y.data[:rmax] * (kidx < r)[:, None].astype(jnp.uint32)
+    z = trsm_upper_left(upiv, BitMatrix(ydata, b.ncols))
+    zmask = z.data * (kidx < r)[:, None].astype(jnp.uint32)
+
+    # x[Q[k]] = z[k] for k < r, all other entries zero (free vars = 0).
+    # Q[k] stores the actual pivot column of slot k; since pivot columns
+    # are strictly increasing, the scatter equals the reference's
+    # mzd_apply_p_right_trans replay of the swap array (solve.c:117).
+    idx = jnp.where(kidx < r, q[:rmax], jnp.int32(n))
+    x = jnp.zeros((n, width_for(b.ncols)), jnp.uint32)
+    x = x.at[idx].set(zmask, mode="drop")
+    return mask_padding(BitMatrix(x, b.ncols)), consistent
+
+
 def solve_left(a: BitMatrix, b: BitMatrix, nb: int | None = None):
     """Solve A X = B (reference API: mzd_solve_left, solve.c:30).
 
@@ -37,47 +122,19 @@ def solve_left(a: BitMatrix, b: BitMatrix, nb: int | None = None):
     solution and X is meaningless (the reference returns -1)."""
     m, n = a.nrows, a.ncols
     assert b.nrows == m
-    rmax = min(m, n)
     data, p, q, r = block_factor(a, preserve_l=True, nb=nb)
-    bits = unpack_bits(data, jnp.uint8)[:, :n]  # (m, n)
-
-    # L embedded in m x m unit lower triangular (identity beyond rank).
-    pivcols = q[:rmax]
-    lcols = bits[:, pivcols]  # (m, rmax): L[i,k] lives at column Q[k], i > k
-    iidx = jnp.arange(m, dtype=jnp.int32)
-    kidx = jnp.arange(rmax, dtype=jnp.int32)
-    lmask = (iidx[:, None] > kidx[None, :]) & (kidx[None, :] < r)
-    lbits = jnp.zeros((m, m), jnp.uint8)
-    lbits = lbits.at[:, :rmax].set(lcols & lmask.astype(jnp.uint8))
-    lbits = lbits | jnp.eye(m, dtype=jnp.uint8)
-    lfull = BitMatrix(pack_bits(lbits), m)
-
-    bp = apply_p_left(b, p)
-    y = trsm_lower_left(lfull, bp)
-    residual = y.data * (iidx >= r)[:, None].astype(jnp.uint32)
-    consistent = jnp.all(residual == 0)
-
-    # U embedded in n x n upper triangular: permute columns so pivots sit on
-    # the diagonal (the L bits land strictly below it and are masked away).
-    qperm = swaps_to_perm(q, ascending=True)
-    ubits = jnp.zeros((n, n), jnp.uint8)
-    topn = bits[:rmax, :][:, qperm]
-    jcol = jnp.arange(n, dtype=jnp.int32)
-    upper = (jcol[None, :] >= kidx[:, None]).astype(jnp.uint8)
-    ubits = ubits.at[:rmax, :].set(topn * upper)
-    ubits = ubits | (jnp.eye(n, dtype=jnp.uint8)
-                     * (jcol >= r).astype(jnp.uint8)[None, :])
-    ufull = BitMatrix(pack_bits(ubits), n)
-
-    ydata = y.data[:rmax] * (kidx < r)[:, None].astype(jnp.uint32)
-    ypad = jnp.zeros((n, width_for(b.ncols)), jnp.uint32)
-    ypad = ypad.at[:rmax].set(ydata)
-    xp = trsm_upper_left(ufull, BitMatrix(ypad, b.ncols))
-    x = apply_p_left_trans(xp, q)
-    return mask_padding(x), consistent
+    return _solve_from_factors(data, p, q, r, b, m, n, from_pivot_cols=True)
 
 
-@functools.partial(jax.jit, static_argnames=("nb",))
+def pluq_solve_left(m: BitMatrix, p, q, r, b: BitMatrix):
+    """Solve A X = B given an existing PLUQ factorization of A (reference
+    API: mzd_pluq_solve_left, solve.c:55-120): M holds L strictly below the
+    diagonal and U on/above it, with P/Q the swap arrays and r the rank."""
+    mm, n = m.nrows, m.ncols
+    return _solve_from_factors(m.data, p, q, r, b, mm, n,
+                               from_pivot_cols=False)
+
+
 def kernel_left(a: BitMatrix, nb: int | None = None):
     """Basis X of the right kernel {x : A x = 0} (reference API:
     mzd_kernel_left_pluq, solve.c:154).
@@ -88,61 +145,26 @@ def kernel_left(a: BitMatrix, nb: int | None = None):
     n = a.ncols
     rmax = min(a.nrows, n)
     rref, q, r = echelonize_with_pivots(a, nb=nb)
-    bits = unpack_bits(rref.data, jnp.uint8)[:rmax, :n]  # (rmax, n)
-    kidx = jnp.arange(rmax, dtype=jnp.int32)
-    jcol = jnp.arange(n, dtype=jnp.int32)
+    return _kernel_post(rref.data, q, r, a.nrows, n)
 
-    # valid pivot rows scatter to Q[k]; invalid ones to an OOB index (dropped)
+
+@functools.partial(jax.jit, static_argnames=("m", "n"))
+def _kernel_post(refdata, q, r, m: int, n: int):
+    rmax = min(m, n)
+    kidx = jnp.arange(rmax, dtype=jnp.int32)
+
+    # valid pivot rows scatter to row Q[k]; invalid ones are dropped
     idx = jnp.where(kidx < r, q[:rmax], jnp.int32(n))
-    ispivot = jnp.zeros((n,), jnp.bool_)
-    ispivot = ispivot.at[idx].set(True, mode="drop")
+    ispivot = jnp.zeros((n,), jnp.bool_).at[idx].set(True, mode="drop")
 
-    xbits = jnp.zeros((n, n), jnp.uint8)
-    # X[Q[k], j] = R[k, j] for k < r
-    rows = bits * (kidx < r)[:, None].astype(jnp.uint8)
-    xbits = xbits.at[idx, :].set(rows, mode="drop")
+    w = width_for(n)
+    rows = refdata[:rmax, :w] * (kidx < r)[:, None].astype(jnp.uint32)
+    xpack = jnp.zeros((n, w), jnp.uint32).at[idx, :].set(rows, mode="drop")
     # diagonal 1 on free columns
-    xbits = xbits | (jnp.eye(n, dtype=jnp.uint8)
-                     * (~ispivot).astype(jnp.uint8)[None, :])
-    # zero out pivot columns entirely
-    xbits = xbits * (~ispivot).astype(jnp.uint8)[None, :]
+    xpack = xpack | (identity(n).data
+                     * (~ispivot).astype(jnp.uint32)[:, None])
+    # zero out pivot columns entirely (packed column mask)
+    pivword = pack_bits(ispivot[None, :].astype(jnp.uint8))[0]
+    xpack = xpack & ~_pad_words(pivword[None, :], w)
     count = n - r
-    return mask_padding(BitMatrix(pack_bits(xbits), n)), count
-
-
-@functools.partial(jax.jit, static_argnames=())
-def pluq_solve_left(m: BitMatrix, p, q, r, b: BitMatrix):
-    """Solve A X = B given an existing PLUQ factorization of A (reference
-    API: mzd_pluq_solve_left, solve.c:55-120): M holds L strictly below the
-    diagonal and U on/above it, with P/Q the swap arrays and r the rank."""
-    import jax.numpy as jnp
-    mm, n = m.nrows, m.ncols
-    rmax = min(mm, n)
-    bits = unpack_bits(m.data, jnp.uint8)[:, :n]
-    iidx = jnp.arange(mm, dtype=jnp.int32)
-    kidx = jnp.arange(rmax, dtype=jnp.int32)
-    jcol = jnp.arange(n, dtype=jnp.int32)
-
-    lmask = (iidx[:, None] > kidx[None, :]) & (kidx[None, :] < r)
-    lbits = jnp.zeros((mm, mm), jnp.uint8)
-    lbits = lbits.at[:, :rmax].set(bits[:, :rmax] & lmask.astype(jnp.uint8))
-    lbits = lbits | jnp.eye(mm, dtype=jnp.uint8)
-    lfull = BitMatrix(pack_bits(lbits), mm)
-
-    bp = apply_p_left(b, p)
-    y = trsm_lower_left(lfull, bp)
-    consistent = jnp.all(y.data * (iidx >= r)[:, None].astype(jnp.uint32) == 0)
-
-    ubits = jnp.zeros((n, n), jnp.uint8)
-    upper = (jcol[None, :] >= kidx[:, None]).astype(jnp.uint8)
-    ubits = ubits.at[:rmax, :].set(bits[:rmax] * upper)
-    ubits = ubits | (jnp.eye(n, dtype=jnp.uint8)
-                     * (jcol >= r).astype(jnp.uint8)[None, :])
-    ufull = BitMatrix(pack_bits(ubits), n)
-
-    ydata = y.data[:rmax] * (kidx < r)[:, None].astype(jnp.uint32)
-    ypad = jnp.zeros((n, width_for(b.ncols)), jnp.uint32)
-    ypad = ypad.at[:rmax].set(ydata)
-    xp = trsm_upper_left(ufull, BitMatrix(ypad, b.ncols))
-    x = apply_p_left_trans(xp, q)
-    return mask_padding(x), consistent
+    return mask_padding(BitMatrix(xpack, n)), count
