@@ -136,22 +136,43 @@ def mul_packed_data(a_data: jnp.ndarray, b_data: jnp.ndarray,
     return jnp.concatenate(out_rows, axis=0)
 
 
+def _is_sqr(a: BitMatrix, b: BitMatrix) -> bool:
+    """Same-operand detection (reference: mzd_mul dispatches A == B to the
+    squaring specialization, strassen.c:358-364).  In the functional world
+    'the same matrix' means the same underlying buffer."""
+    return a.data is b.data or a is b
+
+
 def mul(a: BitMatrix, b: BitMatrix) -> BitMatrix:
     """C = A*B over GF(2) (reference API: mzd_mul, strassen.c:345)."""
     assert a.ncols == b.nrows, (a.shape, b.shape)
-    from .strassen import strassen_mul_data  # local import to avoid cycle
+    from .strassen import strassen_mul_data, strassen_sqr_data
     cfg = get_config()
     if min(a.nrows, a.ncols, b.ncols) >= cfg.strassen_cutoff * 2:
-        out = strassen_mul_data(a.data, b.data, a.nrows, a.ncols, b.ncols)
+        if _is_sqr(a, b):
+            out = strassen_sqr_data(a.data, a.ncols)
+        else:
+            out = strassen_mul_data(a.data, b.data, a.nrows, a.ncols, b.ncols)
     else:
         out = mul_packed_data(a.data, b.data)
     return BitMatrix(out, b.ncols)
 
 
 def addmul(c: BitMatrix, a: BitMatrix, b: BitMatrix) -> BitMatrix:
-    """C += A*B (reference API: mzd_addmul, strassen.c:675)."""
-    prod = mul(a, b)
-    return BitMatrix(c.data ^ prod.data, c.ncols)
+    """C += A*B (reference API: mzd_addmul, strassen.c:675): the Strassen
+    range uses the fused-accumulate schedule (no full-product temporary);
+    below it the XOR fuses into the product's epilogue under jit."""
+    from .strassen import strassen_addmul_data, strassen_addsqr_data
+    cfg = get_config()
+    if min(a.nrows, a.ncols, b.ncols) >= cfg.strassen_cutoff * 2:
+        if _is_sqr(a, b):
+            out = strassen_addsqr_data(c.data, a.data, a.ncols)
+        else:
+            out = strassen_addmul_data(c.data, a.data, b.data,
+                                       a.nrows, a.ncols, b.ncols)
+        return BitMatrix(out, c.ncols)
+    prod = mul_packed_data(a.data, b.data)
+    return BitMatrix(c.data ^ prod, c.ncols)
 
 
 def mul_naive(a: BitMatrix, b: BitMatrix, chunk: int = 1024) -> BitMatrix:

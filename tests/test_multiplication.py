@@ -72,3 +72,55 @@ def test_mul_blocked_path(rng):
     out = mul_packed_data(A.data, B.data, cfg=cfg)
     np.testing.assert_array_equal(
         m4.to_numpy(m4.BitMatrix(out, 90)), oracle.mul(a, b))
+
+
+@pytest.mark.parametrize("m,k,n,levels", [
+    (150, 200, 170, 1), (256, 256, 256, 2), (130, 140, 120, 2)])
+def test_strassen_addmul_schedule(rng, m, k, n, levels):
+    """The fused-accumulate Winograd schedule (strassen.c:443-491) must
+    equal C + A*B for ragged shapes across recursion depths."""
+    from m4ri_tpu.ops.strassen import strassen_addmul_data
+    a = random_dense(rng, m, k)
+    b = random_dense(rng, k, n)
+    c = random_dense(rng, m, n)
+    A, B, C = m4.from_numpy(a), m4.from_numpy(b), m4.from_numpy(c)
+    out = strassen_addmul_data(C.data, A.data, B.data, m, k, n,
+                               cutoff=16, max_levels=levels)
+    got = m4.to_numpy(m4.BitMatrix(out, n))
+    np.testing.assert_array_equal(got, (c ^ oracle.mul(a, b)))
+
+
+@pytest.mark.parametrize("n,levels", [(100, 1), (256, 2), (129, 2), (64, 3)])
+def test_strassen_sqr_schedule(rng, n, levels):
+    """Bodrato's squaring sequence (4 squarings + 3 products,
+    strassen.c:210-343) must equal A*A bit for bit."""
+    from m4ri_tpu.ops.strassen import strassen_sqr_data
+    a = random_dense(rng, n, n)
+    A = m4.from_numpy(a)
+    out = strassen_sqr_data(A.data, n, cutoff=8, max_levels=levels)
+    got = m4.to_numpy(m4.BitMatrix(out, n))
+    np.testing.assert_array_equal(got, oracle.mul(a, a))
+
+
+@pytest.mark.parametrize("n,levels", [(100, 1), (256, 2), (129, 2)])
+def test_strassen_addsqr_schedule(rng, n, levels):
+    """C + A*A via the accumulate-squaring schedule (strassen.c:528-665)."""
+    from m4ri_tpu.ops.strassen import strassen_addsqr_data
+    a = random_dense(rng, n, n)
+    c = random_dense(rng, n, n)
+    A, C = m4.from_numpy(a), m4.from_numpy(c)
+    out = strassen_addsqr_data(C.data, A.data, n, cutoff=8, max_levels=levels)
+    got = m4.to_numpy(m4.BitMatrix(out, n))
+    np.testing.assert_array_equal(got, (c ^ oracle.mul(a, a)))
+
+
+def test_mul_sqr_dispatch(rng):
+    """mul(A, A) must route through the squaring specialization above the
+    Strassen cutoff and still agree with the generic product."""
+    from m4ri_tpu.ops.strassen import strassen_mul_data, strassen_sqr_data
+    a = random_dense(rng, 200, 200)
+    A = m4.from_numpy(a)
+    got = strassen_sqr_data(A.data, 200, cutoff=16, max_levels=2)
+    want = strassen_mul_data(A.data, A.data, 200, 200, 200,
+                             cutoff=16, max_levels=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
