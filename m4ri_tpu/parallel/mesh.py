@@ -14,7 +14,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["make_mesh", "xor_allgather_reduce"]
+__all__ = ["make_mesh", "make_multihost_mesh", "xor_allgather_reduce"]
 
 
 def make_mesh(n_devices: int | None = None, axis_names=("x", "y")) -> Mesh:
@@ -27,6 +27,34 @@ def make_mesh(n_devices: int | None = None, axis_names=("x", "y")) -> Mesh:
     while n % rx:
         rx -= 1
     return Mesh(np.array(devices).reshape(rx, n // rx), axis_names)
+
+
+def make_multihost_mesh(axis_names=("x", "y"),
+                        coordinator: str | None = None,
+                        num_processes: int | None = None,
+                        process_id: int | None = None) -> Mesh:
+    """Mesh spanning multiple hosts (DCN + ICI).
+
+    Layout discipline: the host (DCN) dimension becomes the *outer* rows of
+    the "x" axis and each host's chips fill the inner columns, so the
+    per-panel all-gathers of dist_ple/dist_echelon and the SUMMA gathers of
+    dist_mul ride ICI within a host, while only the row-block boundary
+    crossings use DCN.  Call once per process; when the JAX distributed
+    runtime is already initialized (e.g. by the launcher) the arguments are
+    ignored.  Single-process fallback: identical to make_mesh().
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    devices = jax.devices()
+    n_hosts = max(1, getattr(jax, "process_count", lambda: 1)())
+    per_host = len(devices) // n_hosts
+    if n_hosts == 1:
+        return make_mesh(axis_names=axis_names)
+    # rows = hosts (DCN), columns = chips within a host (ICI)
+    grid = np.array(devices).reshape(n_hosts, per_host)
+    return Mesh(grid, axis_names)
 
 
 def xor_allgather_reduce(x, axis_name: str):
