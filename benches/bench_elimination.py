@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from harness import emit, run_timed
+from harness import emit, profiled, run_timed
 
 REF = {("m4ri", 16384, True): 1.2349, ("m4ri", 16384, False): 0.8867}
 
@@ -37,11 +37,13 @@ def main():
         jax.device_get(r)
         jax.device_get(r_mat.data[0])
 
+    once = profiled(once)
     once()  # compile (slow through the dev tunnel; excluded from timing)
     res = run_timed(once, max_samples=10, max_time=120)
     ref = REF.get((alg, m, full))
     emit(f"echelonize_{alg}_{m}x{n}_full={int(full)}", res.mean, "s",
-         res.mean, (ref / res.mean) if ref else None)
+         res.mean, (ref / res.mean) if ref else None,
+         bitops=float(m) * n * min(m, n))
 
 
 if __name__ == "__main__":

@@ -1,4 +1,6 @@
-"""Inversion benchmark (reference: bench/bench_invert.c).
+"""Inversion benchmark (reference: bench/bench_invert.c — `bench_invert
+n direction alg`).  Reference baseline on this host CPU (gcc -O3
+-march=native): full inversion 16384^2 = 4.6274 s.
 
 Usage: python benches/bench_invert.py [n]
 """
@@ -8,7 +10,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from harness import emit, run_timed
+from harness import emit, profiled, run_timed
 
 
 def main():
@@ -28,9 +30,12 @@ def main():
         jax.device_get(r)
         jax.device_get(inv.data[0])
 
+    once = profiled(once)
     once()
     res = run_timed(once, max_samples=8, max_time=120)
-    emit(f"invert_{n}", res.mean, "s", res.mean)
+    ref = 4.6274 if n == 16384 else None
+    emit(f"invert_{n}", res.mean, "s", res.mean,
+         (ref / res.mean) if ref else None, bitops=2.0 * n ** 3)
 
 
 if __name__ == "__main__":

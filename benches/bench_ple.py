@@ -9,7 +9,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from harness import emit, run_timed
+from harness import emit, profiled, run_timed
 
 REF = {("ple", 32768): 7.0605}
 
@@ -34,11 +34,13 @@ def main():
         jax.device_get(r)
         jax.device_get(mat.data[0])
 
+    once = profiled(once)
     once()
     res = run_timed(once, max_samples=10, max_time=180)
     ref = REF.get((what, m))
     emit(f"{what}_{m}x{n}", res.mean, "s", res.mean,
-         (ref / res.mean) if ref else None)
+         (ref / res.mean) if ref else None,
+         bitops=float(m) * n * min(m, n))
 
 
 if __name__ == "__main__":

@@ -9,7 +9,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from harness import emit, run_timed
+from harness import emit, profiled, run_timed
 
 
 def main():
@@ -27,11 +27,13 @@ def main():
     def once():
         jax.device_get(rank(a))
 
+    once = profiled(once)
     once()
     res = run_timed(once, max_samples=10, max_time=120)
     ref = 0.8867 if (m == 16384 and n == 16384) else None
     emit(f"rank_{m}x{n}", res.mean, "s", res.mean,
-         (ref / res.mean) if ref else None)
+         (ref / res.mean) if ref else None,
+         bitops=float(m) * n * min(m, n))
 
 
 if __name__ == "__main__":

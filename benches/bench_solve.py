@@ -10,7 +10,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from harness import emit, run_timed
+from harness import emit, profiled, run_timed
 
 
 def main():
@@ -33,9 +33,11 @@ def main():
         jax.device_get(ok)
         jax.device_get(x.data[0])
 
+    once = profiled(once)
     once()
     res = run_timed(once, max_samples=8, max_time=180)
-    emit(f"solve_left_{n}x{n}_b{nb_cols}", res.mean, "s", res.mean)
+    emit(f"solve_left_{n}x{n}_b{nb_cols}", res.mean, "s", res.mean,
+         bitops=float(n) ** 3 + 2.0 * n * n * nb_cols)
 
 
 if __name__ == "__main__":

@@ -10,7 +10,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from harness import emit, run_timed
+from harness import emit, profiled, run_timed
 
 REF = {(32768, 0, 0): 24.199, (32768, 0, 1): 9.156,
        (32768, 1, 0): 9.786, (32768, 1, 1): 11.002}
@@ -47,12 +47,13 @@ def main():
         x = fn(t, b)
         jax.device_get(x.data[0])
 
+    once = profiled(once)
     once()
     res = run_timed(once, max_samples=10, max_time=180)
     ref = REF.get((m, upper, left))
     name = f"trsm_{'upper' if upper else 'lower'}_{'left' if left else 'right'}"
     emit(f"{name}_{m}x{n}", res.mean, "s", res.mean,
-         (ref / res.mean) if ref else None)
+         (ref / res.mean) if ref else None, bitops=float(n) * n * m)
 
 
 if __name__ == "__main__":

@@ -73,10 +73,34 @@ def run_marginal(run_chain, lo: int, hi: int, samples: int = 5) -> float:
 
 
 def emit(metric: str, value: float, unit: str, wall: float,
-         vs_baseline: float | None = None) -> None:
+         vs_baseline: float | None = None,
+         bitops: float | None = None) -> None:
+    """One JSON line per program.  ``bitops`` is the effective GF(2)
+    bit-operation count of the measured op (2 per AND+XOR term, the
+    reference's cc/n^x normalization, bench_multiplication.c:147-158);
+    when given, the record reports the achieved Tbit-op/s."""
     import json
     rec = {"metric": metric, "value": round(value, 4), "unit": unit,
            "wall_s": round(wall, 6)}
     if vs_baseline is not None:
         rec["vs_baseline"] = round(vs_baseline, 3)
+    if bitops is not None and wall > 0:
+        rec["tbitops"] = round(bitops / wall / 1e12, 3)
     print(json.dumps(rec))
+
+
+def profiled(fn, trace_dir: str | None = None):
+    """Wrap ``fn`` with a jax.profiler trace when a directory is given (or
+    M4RI_TPU_PROFILE_DIR is set) — the TPU-native analogue of the
+    reference's PAPI counter hooks (bench/benchmarking.c)."""
+    import os
+    trace_dir = trace_dir or os.environ.get("M4RI_TPU_PROFILE_DIR")
+    if not trace_dir:
+        return fn
+
+    def wrapped(*a, **kw):
+        import jax
+        with jax.profiler.trace(trace_dir):
+            return fn(*a, **kw)
+
+    return wrapped

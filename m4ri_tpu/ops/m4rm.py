@@ -24,6 +24,8 @@ vs Strassen).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,17 +47,25 @@ def mul_m4rm(a: BitMatrix, b: BitMatrix, k: int = 0) -> BitMatrix:
 def addmul_m4rm(c: BitMatrix | None, a: BitMatrix, b: BitMatrix,
                 k: int = 0) -> BitMatrix:
     assert a.ncols == b.nrows
-    m, kk = a.nrows, a.ncols
-    n = b.ncols
-    nw = b.width
     if k <= 0:
         k = min(opt_k(a.nrows, a.ncols, b.ncols), 12)
+    cdata = c.data if c is not None \
+        else jnp.zeros((a.nrows, b.width), jnp.uint32)
+    out = _addmul_m4rm_impl(cdata, a.data, b.data, a.ncols, k)
+    return BitMatrix(out, b.ncols)
 
+
+@functools.partial(jax.jit, static_argnames=("kk", "k"))
+def _addmul_m4rm_impl(cdata, adata, bdata, kk: int, k: int):
+    """One jitted program per shape: eagerly this engine paid a ~40 ms
+    tunnel dispatch (plus a fresh remote compile) per op."""
+    m = adata.shape[0]
+    nw = bdata.shape[1]
     nslices = (kk + k - 1) // k
     kk_pad = nslices * k
 
     # k-bit indices of every (row, slice): LSB-first within the slice.
-    abits = unpack_bits(a.data, jnp.uint8)
+    abits = unpack_bits(adata, jnp.uint8)
     if abits.shape[1] < kk_pad:
         abits = jnp.pad(abits, ((0, 0), (0, kk_pad - abits.shape[1])))
     abits = abits[:, :kk_pad].reshape(m, nslices, k).astype(jnp.int32)
@@ -65,14 +75,14 @@ def addmul_m4rm(c: BitMatrix | None, a: BitMatrix, b: BitMatrix,
     # All tables at once: T[s] = S @ B[s*k:(s+1)*k]; packed selector is just
     # arange(2^k) when k <= 32.
     sel = jnp.arange(1 << k, dtype=jnp.uint32)[:, None]
-    bd = b.data
+    bd = bdata
     if bd.shape[0] < kk_pad:
         bd = jnp.pad(bd, ((0, kk_pad - bd.shape[0]), (0, 0)))
     b3 = bd.reshape(nslices, k, nw)
     tables = jax.vmap(lambda bs: mul_packed_data(sel, bs))(b3)
     # tables: (nslices, 2^k, nw)
 
-    acc = c.data if c is not None else jnp.zeros((m, nw), jnp.uint32)
+    acc = cdata
     chunk = max(1, (1 << 28) // max(1, m * nw * 4))  # gather temp <= 256 MB
     for s0 in range(0, nslices, chunk):
         s1 = min(s0 + chunk, nslices)
@@ -80,4 +90,4 @@ def addmul_m4rm(c: BitMatrix | None, a: BitMatrix, b: BitMatrix,
         i_chunk = idx[:, s0:s1].T[:, :, None]        # (cs, m, 1)
         g = jnp.take_along_axis(t_chunk, i_chunk, axis=1)  # (cs, m, nw)
         acc = acc ^ jnp.bitwise_xor.reduce(g, axis=0)
-    return BitMatrix(acc, n)
+    return acc

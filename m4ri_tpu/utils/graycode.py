@@ -49,6 +49,11 @@ def codebook(k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def opt_k(a: int, b: int, c: int = 0) -> int:
-    """Optimal Gray-table width ~ 0.75 * log2(n) (graycode.c:75-79)."""
+    """Optimal Gray-table width ~ 0.75 * (1 + floor(log2(min(a, b)))).
+
+    Bit-exact port of m4ri_opt_k (graycode.c:75-79) — including the fact
+    that the third argument is accepted but unused (the reference's
+    signature keeps it for historic call sites; see graycode.c:76-78,
+    which only ever reads MIN(a, b))."""
     n = min(a, b)
     return min(MAXK, max(1, int(0.75 * (1 + int(np.log2(max(n, 1)))))))

@@ -44,3 +44,26 @@ def dd(name: str, a: BitMatrix) -> None:
     __M4RI_DD_MZD, debug_dump.h:29-61)."""
     if _ENABLED:
         print(f"[m4ri_tpu dd] {name}: 0x{int(matrix_hash(a)):08x}")
+
+
+def instrument(name: str, fn):
+    """Wrap a public matrix-producing entry point so that, with
+    debug_dump(True), every call logs the op name and result hash — the
+    reference's op-by-op engine-diffing stream (__M4RI_DD_MZD at the end
+    of every mutator).  Zero overhead when disabled."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        out = fn(*args, **kwargs)
+        if _ENABLED:
+            import jax
+            items = out if isinstance(out, tuple) else (out,)
+            for i, it in enumerate(items):
+                if isinstance(it, BitMatrix) and not isinstance(
+                        it.data, jax.core.Tracer):
+                    tag = f"{name}[{i}]" if isinstance(out, tuple) else name
+                    dd(tag, it)
+        return out
+
+    return wrapped

@@ -121,16 +121,37 @@ def read_png(path: str) -> BitMatrix:
     for i in range(h):
         line = raw[i * stride : (i + 1) * stride]
         filt, body = line[0], np.frombuffer(line[1:], np.uint8).copy()
-        if filt == 0:
-            pass
-        elif filt == 2:  # Up
-            body = (body + prev).astype(np.uint8)
-        else:
-            raise ValueError(f"unsupported PNG filter {filt}")
+        body = _png_unfilter(filt, body, prev)
         prev = body
         bits = np.unpackbits(body)[:w]
         rows.append(1 - bits)
     return from_numpy(np.stack(rows))
+
+
+def _png_unfilter(filt: int, body: np.ndarray, prev: np.ndarray) -> np.ndarray:
+    """All five PNG scanline filters (the reference reads arbitrary
+    libpng-written files, io.c:72-293; for 1-bit grayscale bpp = 1 byte)."""
+    if filt == 0:  # None
+        return body
+    if filt == 2:  # Up
+        return (body + prev).astype(np.uint8)
+    out = np.zeros_like(body)
+    for i in range(len(body)):
+        a = int(out[i - 1]) if i else 0          # left
+        b = int(prev[i])                          # up
+        if filt == 1:  # Sub
+            out[i] = (int(body[i]) + a) & 0xFF
+        elif filt == 3:  # Average
+            out[i] = (int(body[i]) + ((a + b) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            c = int(prev[i - 1]) if i else 0      # up-left
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (int(body[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter {filt}")
+    return out
 
 
 def info(a: BitMatrix, compute_rank: bool = False) -> str:

@@ -74,3 +74,62 @@ def test_randomize_custom():
     A = randomize_custom(5, 100, g.random_word)
     B = m4.randomize_reference(5, 100, seed=17)
     assert bool(m4.equal(A, B))
+
+
+def test_png_all_filters(tmp_path):
+    """The reader must accept every PNG scanline filter (0/1/2/3/4) — the
+    reference reads arbitrary libpng output (io.c:72-293), which may pick
+    any filter per row."""
+    import struct
+    import zlib
+    rng = np.random.default_rng(11)
+    bits = (rng.random((10, 70)) < 0.5).astype(np.uint8)
+    # hand-roll a PNG applying filter f on row f % 5 (bpp = 1 byte)
+    h, w = bits.shape
+    stride = (w + 7) // 8
+    raws = []
+    prev = np.zeros(stride, np.uint8)
+    for i in range(h):
+        body = np.packbits(1 - bits[i], axis=None)[:stride]
+        f = i % 5
+        if f == 0:
+            enc = body
+        elif f == 1:  # Sub
+            enc = np.zeros_like(body)
+            for j in range(stride):
+                left = int(body[j - 1]) if j else 0
+                enc[j] = (int(body[j]) - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (body - prev).astype(np.uint8)
+        elif f == 3:  # Average
+            enc = np.zeros_like(body)
+            for j in range(stride):
+                left = int(body[j - 1]) if j else 0
+                enc[j] = (int(body[j]) - ((left + int(prev[j])) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = np.zeros_like(body)
+            for j in range(stride):
+                a = int(body[j - 1]) if j else 0
+                b = int(prev[j])
+                c = int(prev[j - 1]) if j else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                enc[j] = (int(body[j]) - pred) & 0xFF
+        prev = body
+        raws.append(bytes([f]) + enc.tobytes())
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+           + chunk(b"IEND", b""))
+    path = tmp_path / "filters.png"
+    path.write_bytes(png)
+    from m4ri_tpu.utils.io import read_png
+    got = m4.to_numpy(read_png(str(path)))
+    np.testing.assert_array_equal(got, bits)
