@@ -29,7 +29,7 @@ from ..core.bitmatrix import BitMatrix, identity, mask_padding, width_for
 from ..core.permutation import apply_p_left
 from ..ops.mul import mul_packed_data, pack_bits
 from ..utils.config import WORD_BITS
-from .echelon import _pivot_selection, echelonize_with_pivots
+from .echelon import echelonize_with_pivots, select_pivot_cols
 from .ple import block_factor
 from .triangular import trsm_lower_left, trsm_upper_left
 
@@ -55,11 +55,11 @@ def _packed_l(data, q, r, m: int, rmax: int, n: int,
               from_pivot_cols: bool) -> BitMatrix:
     """Unit lower-triangular m x m L, packed, from the in-place factor.
 
-    from_pivot_cols: gather L[:, k] from column Q[k] via one selection
-    product (PLE layout); else L already sits in columns 0..rmax (PLUQ)."""
+    from_pivot_cols: gather L[:, k] from column Q[k] via the packed
+    transpose-gather (PLE layout); else L already sits in columns 0..rmax
+    (PLUQ)."""
     if from_pivot_cols:
-        s = _pivot_selection(q, r, n, rmax)
-        lcols = mul_packed_data(data, s)               # (m, w_rmax)
+        lcols = select_pivot_cols(data, q, r, m, n, rmax)  # (m, w_rmax)
     else:
         lcols = _pad_words(data, width_for(rmax))
     iidx = jnp.arange(m, dtype=jnp.int32)
@@ -75,8 +75,7 @@ def _packed_upiv(top, q, r, rmax: int, n: int,
     diagonal (the in-place L multipliers) is masked by the TRSM entry
     point itself (triangular._clean_tri)."""
     if from_pivot_cols:
-        s = _pivot_selection(q, r, n, rmax)
-        upiv = mul_packed_data(top, s)                 # (rmax, w_rmax)
+        upiv = select_pivot_cols(top, q, r, rmax, n, rmax)  # (rmax, w_rmax)
     else:
         upiv = _pad_words(top, width_for(rmax))
     k = jnp.arange(rmax, dtype=jnp.int32)
