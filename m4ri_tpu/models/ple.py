@@ -183,7 +183,9 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
     nbw = nb // WORD_BITS
     W = window
     assert W >= nb + search_window, (W, nb, search_window)
-    m_pad = _round_up(m, nb) + W
+    # rounded to the Schur kernel's preferred row tile; the extra all-zero
+    # rows can never pivot (pos < m guards) so every engine is unaffected
+    m_pad = _round_up(_round_up(m, nb) + W, 256)
     n_pad = _round_up(n, nb)
     w_pad = n_pad // WORD_BITS
     n_panels = n_pad // nb
@@ -313,8 +315,14 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
         up = up * (widx >= (t + 1) * nbw)[None, :].astype(jnp.uint32)
 
         # --- Schur update: A ^= Lp @ U (MXU product) ---
-        delta = mul_packed_data(Lpw, up)
-        A = A ^ delta
+        if engine in ("pallas", "pallas_interpret"):
+            # fused kernel: skips tiles above the rank / left of the
+            # trailing edge and XORs in place (ops/pallas_schur.py)
+            from ..ops.pallas_schur import gf2_schur_update
+            A = gf2_schur_update(A, Lpw, up, r_in, (t + 1) * nbw,
+                                 interpret=(engine == "pallas_interpret"))
+        else:
+            A = A ^ mul_packed_data(Lpw, up)
         return (A, P, Q, r), None
 
     (A, P, Q, r), _ = lax.scan(

@@ -1,0 +1,189 @@
+"""Fused Pallas Schur-update kernel: C ^= L @ U with tile skipping.
+
+The panel factorization (models/ple.py) spends most of its time in the
+per-panel Schur update A ^= Lp @ Up.  Routing that through the general
+matmul kernel (ops/pallas_mul.py) plus an XLA XOR pass wastes work three
+ways, all fixed here:
+
+1. *Rows above the current rank*: Lp rows < r0 are structurally zero
+   (nothing above the already-factored block carries multipliers,
+   reference analogue: the recursion only updates the trailing quadrant,
+   ple.c:122-127), so their product tiles are zero.  Tiles whose row range
+   lies entirely above r0 skip the MXU work and pass C through unchanged.
+2. *Columns left of the trailing edge*: Up is masked to columns >= the
+   next panel (word c0w), so tiles entirely left of c0w likewise pass
+   through.  Averaged over the sweep this removes ~3/4 of the tile work —
+   the packed analogue of recursing on the trailing submatrix, which a
+   uniform ``lax.scan`` cannot express with shrinking shapes.
+3. *The XOR is fused*: no full-size delta materialization in HBM and no
+   separate read-modify-write pass.
+
+The bounds (r0, c0w) arrive as SMEM scalars, so one compiled kernel
+serves every panel of the scan.  Operand layout matches pallas_mul: L is
+word-transposed and i-tiled, U is plane-row-permuted and j-tiled, both
+fetched with manual contiguous DMA; C streams through automatic
+(tm, tnw) blocks which Mosaic pipelines across grid steps.  The unpacked
+U tile is cached in scratch across the i-sweep of each j column (grid is
+(J, I), i fastest, "arbitrary" semantics so the visit order is fixed).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.config import WORD_BITS
+from .pallas_mul import _pack_planes, _unpack_planes_ax0, _unpack_planes_ax1
+
+__all__ = ["gf2_schur_update"]
+
+
+def _make_kernel(tm: int, tkw: int, tnw: int):
+    tk = tkw * WORD_BITS
+
+    def _kernel(bounds, c_in, at_hbm, bp_hbm, o_ref, ub_ref, abuf, bbuf,
+                sems):
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        r0 = bounds[0]
+        c0w = bounds[1]
+        col_active = (j + 1) * tnw > c0w
+        row_active = (i + 1) * tm > r0
+
+        # refresh the unpacked-U cache once per j column
+        @pl.when(col_active & (i == 0))
+        def _():
+            cp = pltpu.make_async_copy(bp_hbm.at[j], bbuf, sems.at[0])
+            cp.start()
+            cp.wait()
+            ub_ref[:] = _unpack_planes_ax1(bbuf[:])
+
+        # default: pass the C tile through unchanged
+        o_ref[:] = c_in[:]
+
+        @pl.when(col_active & row_active)
+        def _():
+            cp = pltpu.make_async_copy(at_hbm.at[i], abuf, sems.at[1])
+            cp.start()
+            cp.wait()
+            ua_t = _unpack_planes_ax0(abuf[:])          # (tk, tm) int8
+            acc = jax.lax.dot_general(
+                ua_t, ub_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o_ref[:] = c_in[:] ^ _pack_planes(acc & 1, tnw)
+
+    return _kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tm", "tkw", "tnw", "interpret"))
+def _schur_padded(bounds, c, at3, bp3, tm: int, tkw: int, tnw: int,
+                  interpret: bool = False):
+    m, nw = c.shape
+    tk = tkw * WORD_BITS
+    tn = tnw * WORD_BITS
+    grid = (nw // tnw, m // tm)  # j outer, i fastest (U-cache per column)
+    return pl.pallas_call(
+        _make_kernel(tm, tkw, tnw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tm, tnw), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tm, tnw), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, nw), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((tk, tn), jnp.int8),      # unpacked-U cache
+            pltpu.VMEM((tkw, tm), jnp.uint32),   # L chunk
+            pltpu.VMEM((tk, tnw), jnp.uint32),   # packed-U chunk
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * tk * (nw * WORD_BITS),
+            bytes_accessed=(tkw * m + tk * nw + 2 * m * nw) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(bounds, c, at3, bp3)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _tile_div(total: int, pref: int) -> int:
+    """Largest divisor of ``total`` that is <= pref (tiles must divide the
+    padded dimension exactly; a tile equal to the array dim is always
+    legal for the lane axis)."""
+    t = min(pref, total)
+    while total % t:
+        t -= 1
+    return t
+
+
+def gf2_schur_update(c_data: jnp.ndarray, lp_data: jnp.ndarray,
+                     up_data: jnp.ndarray, r0, c0w,
+                     tm: int | None = None, tnw: int | None = None,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Packed GF(2) fused update ``C ^ Lp @ Up`` with dynamic tile bounds.
+
+    c: uint32[m, nw];  lp: uint32[m, kw];  up: uint32[k, nw], k <= kw*32.
+    Exactness contract (guaranteed by the panel factorization): rows of lp
+    above ``r0`` are zero, and columns of up left of packed word ``c0w``
+    are zero — tiles entirely inside those regions are passed through
+    without computing, which is exact because their delta is zero.
+    """
+    m, nw = c_data.shape
+    m2, kw = lp_data.shape
+    k, nw2 = up_data.shape
+    assert m2 == m and nw2 == nw and k <= kw * WORD_BITS, \
+        (c_data.shape, lp_data.shape, up_data.shape)
+    m_in, nw_in = m, nw
+    if not interpret:
+        # Mosaic DMA destinations need 128-lane alignment: pad the row dim
+        # (lane axis of the transposed L tiles) to a 256 multiple and the
+        # word dim to a 128 multiple.  Zero L rows / U columns are
+        # passed through, so padding is exact; production shapes from the
+        # panel factorization are already aligned and skip the copies.
+        if m % 256:
+            pad = _round_up(m, 256) - m
+            c_data = jnp.pad(c_data, ((0, pad), (0, 0)))
+            lp_data = jnp.pad(lp_data, ((0, pad), (0, 0)))
+            m += pad
+        if nw % 128:
+            pad = _round_up(nw, 128) - nw
+            c_data = jnp.pad(c_data, ((0, 0), (0, pad)))
+            up_data = jnp.pad(up_data, ((0, 0), (0, pad)))
+            nw += pad
+    if tm is None:
+        tm = _tile_div(m, 256)
+    if tnw is None:
+        tnw = _tile_div(nw, 128)
+    assert m % tm == 0 and nw % tnw == 0, (m, tm, nw, tnw)
+    tkw = kw
+    k_pad = kw * WORD_BITS
+
+    at3 = lp_data.T.reshape(kw, m // tm, tm).swapaxes(0, 1)  # (I, kw, tm)
+    up = up_data
+    if k < k_pad:
+        up = jnp.pad(up, ((0, k_pad - k), (0, 0)))
+    # plane-permute rows to match the unpacked contraction lanes
+    # (reshape+transpose, not a gather — see pallas_mul.py)
+    bp = (up.reshape(1, tkw, WORD_BITS, nw).swapaxes(1, 2)
+            .reshape(k_pad, nw))
+    bp3 = bp.reshape(k_pad, nw // tnw, tnw).swapaxes(0, 1)  # (J, tk, tnw)
+    bounds = jnp.stack([jnp.asarray(r0, jnp.int32),
+                        jnp.asarray(c0w, jnp.int32)])
+    out = _schur_padded(bounds, c_data, at3, bp3, tm, tkw, tnw, interpret)
+    if (m_in, nw_in) != (m, nw):
+        out = out[:m_in, :nw_in]
+    return out

@@ -83,9 +83,50 @@ def test_pallas_panel_interpret_matches_xla(rng):
                     err_msg=f"preserve_l={pres}: {what}")
 
 
+def _schur_case(rng, m, k, n, r0, c0, tm, tnw, interpret):
+    """c ^ lp@up with lp rows < r0 and up cols < c0 zeroed (the panel
+    factorization's structural contract) — the kernel must be exact for
+    every (r0, c0) tile-boundary alignment."""
+    from m4ri_tpu.ops.pallas_schur import gf2_schur_update
+    c = random_dense(rng, m, n)
+    lp = random_dense(rng, m, k)
+    up = random_dense(rng, k, n)
+    lp[:r0] = 0
+    up[:, :c0] = 0
+    want = c ^ oracle.mul(lp, up)
+    C, L, U = m4.from_numpy(c), m4.from_numpy(lp), m4.from_numpy(up)
+    out = gf2_schur_update(C.data, L.data, U.data, r0, c0 // 32,
+                           tm=tm, tnw=tnw, interpret=interpret)
+    np.testing.assert_array_equal(
+        m4.to_numpy(m4.BitMatrix(out, n)), want,
+        err_msg=f"m={m} k={k} n={n} r0={r0} c0={c0} tm={tm} tnw={tnw}")
+
+
+@pytest.mark.parametrize("r0,c0", [
+    (0, 0),            # nothing skipped
+    (64, 1024),        # tile-aligned skip region
+    (96, 1536),        # bounds inside a tile (partial tiles stay active)
+    (256, 4096),       # everything skipped: pure passthrough
+])
+def test_pallas_schur_update_interpret(rng, r0, c0):
+    _schur_case(rng, 256, 128, 4096, r0, c0, tm=64, tnw=32, interpret=True)
+
+
+def test_pallas_schur_update_shallow_k_interpret(rng):
+    # the production shape class: kw = nb/32 words of multipliers
+    _schur_case(rng, 512, 256, 2048, 128, 512, tm=128, tnw=64,
+                interpret=True)
+
+
 @tpu_only
 def test_pallas_mul_tpu(rng):
     _mul_case(rng, 512, 2048, 4096, 256, 32, interpret=False)
+
+
+@tpu_only
+def test_pallas_schur_update_tpu(rng):
+    _schur_case(rng, 512, 256, 4096, 192, 1536, tm=256, tnw=128,
+                interpret=False)
 
 
 @tpu_only
