@@ -100,11 +100,11 @@ def mul_packed_data(a_data: jnp.ndarray, b_data: jnp.ndarray,
         from .pallas_mul import gf2_mul_pallas
         return gf2_mul_pallas(a_data, b_data)
 
-    # Large deep products likewise: XLA's single fused dot falls off a
-    # cliff above ~8192 (measured 37 Tbit-op/s vs the kernel's 375 at
-    # n=16384) and the blocked XLA path materializes unpacked operands.
+    # Large deep products likewise: XLA's single fused dot loses above
+    # ~4096 (276 vs 386 Tbit-op/s at n=4096, 37 vs 375 at n=16384) and
+    # the blocked XLA path materializes unpacked operands.
     if (cfg.use_pallas_big and m >= 2048 and nw >= 128
-            and max(m, kp, nw * WORD_BITS) > cfg.mul_block_threshold
+            and max(m, kp, nw * WORD_BITS) >= cfg.pallas_big_min
             and jax.default_backend() == "tpu"):
         from .pallas_mul import gf2_mul_pallas
         return gf2_mul_pallas(a_data, b_data)

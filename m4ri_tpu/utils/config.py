@@ -55,6 +55,10 @@ class Config:
     # (measured: 375 vs 353 Tbit-op/s vs blocked XLA at n=16384, and no
     # unpacked-operand HBM materialization).
     use_pallas_big: bool = True
+    # Smallest max-dimension at which the fused kernel beats XLA's single
+    # fused dot (measured on v5e at n=4096: 386 vs 276 Tbit-op/s; below
+    # ~2048 XLA keeps everything VMEM-resident and wins decisively).
+    pallas_big_min: int = 4096
     # Strassen recursion depth cap (compile size grows 7^levels).
     strassen_max_levels: int = 2
     # Run the panel pivot loop as a single VMEM-resident Mosaic kernel on
