@@ -238,15 +238,23 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
         upiv = _dot2(u_clean, E.T)
         npiv = upiv * (slotv[None, :] > slotv[:, None]).astype(jnp.int8)
         T = _unit_upper_inv(npiv, eye_nb, steps)         # U_piv^{-1}
-        # multipliers for every row below the window: lambda = X_piv @ T
+        # multipliers for every row below the window: lambda = X_piv @ T;
+        # eliminated panel values v = X ^ lambda @ wmat (preserve_l
+        # re-places lambda at the pivot columns, the reference's in-place
+        # L layout)
+        # (measured: XLA fuses this chain to ~0.08 ms/panel at 32768 — a
+        # fused Pallas version was tried and lost 5-10x to per-tile
+        # overheads, see RESULTS.md)
+        wmat = (u_clean ^ E) if preserve_l else u_clean
         below = pos_all >= r_in + W
         Xu = unpack_bits(Xw, jnp.int8)
         xpiv = _dot2(Xu, E.T)
-        lam = _dot2(xpiv, T) * (live[None, :] & below[:, None]).astype(jnp.int8)
-        # eliminated panel values; preserve_l re-places lambda at the pivot
-        # columns (the reference's in-place L layout)
-        wmat = (u_clean ^ E) if preserve_l else u_clean
+        lam = _dot2(xpiv, T) \
+            * (live[None, :] & below[:, None]).astype(jnp.int8)
         vbits = Xu ^ _dot2(lam, wmat)
+        selc = below[:, None]
+        vw_full = jnp.where(selc, pack_bits(vbits), Xw)
+        lamw_full = jnp.where(selc, pack_bits(lam), jnp.uint32(0))
         # ---- exact miss check: a declared-non-pivot column where some
         # below-window row still has a 1 means the canonical pivot was
         # outside the window -> rerun this panel with a full-height window.
@@ -259,16 +267,17 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
             # below-window 1 is legitimate
             miss = jnp.bool_(False)
         else:
-            miss = jnp.any((vbits != 0) & (~pivcol & validcol)[None, :]
-                           & (below & (pos_all < m))[:, None])
+            colmask = pack_bits(
+                (~pivcol & validcol)[None, :].astype(jnp.uint8))[0]
+            rowmask = (pos_all >= r_in + W) & (pos_all < m)
+            miss = jnp.any(jnp.where(
+                rowmask[:, None], vw_full & colmask[None, :],
+                jnp.uint32(0)) != 0)
 
-        vw = pack_bits(vbits)
-        lamw = pack_bits(lam)
-        selc = below[:, None]
-        panel_fast = lax.dynamic_update_slice(
-            jnp.where(selc, vw, Xw), ALw[:, :nbw], (r_in, 0))
-        lp_fast = lax.dynamic_update_slice(
-            jnp.where(selc, lamw, jnp.uint32(0)), ALw[:, nbw:], (r_in, 0))
+        panel_fast = lax.dynamic_update_slice(vw_full, ALw[:, :nbw],
+                                              (r_in, 0))
+        lp_fast = lax.dynamic_update_slice(lamw_full, ALw[:, nbw:],
+                                           (r_in, 0))
 
         def slow_branch(_):
             # exact full-height panel sweep (the round-1 engine, now on the

@@ -19,6 +19,7 @@ import oracle
 from conftest import random_dense
 
 import jax
+import jax.numpy as jnp
 
 ON_TPU = jax.default_backend() == "tpu"
 tpu_only = pytest.mark.skipif(not ON_TPU, reason="needs real TPU")
