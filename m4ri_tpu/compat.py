@@ -34,7 +34,9 @@ from .utils.rng import GlibcRandom
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = [n for n in dir() if n.startswith(("mzd_", "mzp_", "m4ri_"))]
+
+# __all__ is assembled at the very end of the module so the long-tail
+# section below is included.
 
 
 # --- container -----------------------------------------------------------
@@ -301,3 +303,320 @@ mzd_first_zero_row = bitops.first_zero_row
 
 def mzd_fprint_row(a, i):
     print(io.to_text(submatrix(a, i, 0, i + 1, a.ncols)))
+
+
+# --- umbrella-header long tail -------------------------------------------
+# Every remaining public name of m4ri/m4ri.h, so that the grep of the
+# umbrella header against this module is empty.  Memory-management and
+# library-lifecycle names are documented no-ops (the XLA runtime owns
+# device memory and there is no global state to initialize — see
+# COMPONENTS.md #20 and the m4ri_init notes in SURVEY.md §3.5).
+
+from .utils import bits as _bits
+from .utils import graycode as _graycode
+from .utils import hashing as _hashing
+
+# word width of the packed representation (the reference's m4ri_radix is
+# 64, misc.h:141; TPU vector lanes are 32-bit).  Bit-level compat APIs
+# take absolute bit indices, so the radix only matters to callers doing
+# their own word arithmetic.
+from .utils.config import WORD_BITS as m4ri_radix  # noqa: F401
+
+m4ri_swap_bits = _bits.swap_bits
+m4ri_spread_bits = _bits.spread_bits
+m4ri_shrink_bits = _bits.shrink_bits
+m4ri_lesser_LSB = _bits.lesser_lsb
+m4ri_parity64 = _bits.parity64
+m4ri_parity64_helper = _bits.parity64  # same MIX-tree result (parity.h)
+m4ri_gray_code = _graycode.gray_code
+m4ri_opt_k = _graycode.opt_k
+m4ri_build_code = _graycode.codebook   # returns the (ord, inc) arrays
+
+
+def m4ri_coin_flip():
+    """random() & 1 (misc.h:527)."""
+    return m4ri_random_word() & 1
+
+
+def m4ri_die(msg, *args):
+    """printf + abort in the reference (misc.c:36) -> an exception here."""
+    raise RuntimeError("m4ri_die: " + ((msg % args) if args else str(msg)))
+
+
+def m4ri_init():
+    """Library ctor (misc.c:73): builds the global Gray codebook.  Here
+    codebooks are pure cached functions — nothing to initialize."""
+    return None
+
+
+def m4ri_fini():
+    return None
+
+
+m4ri_build_all_codes = m4ri_init
+m4ri_destroy_all_codes = m4ri_fini
+
+
+def m4ri_mm_malloc(size, *args):
+    """Host-side scratch only; device memory belongs to XLA."""
+    return np.zeros(int(size), np.uint8)
+
+
+def m4ri_mm_malloc_aligned(size, alignment=64):
+    return np.zeros(int(size), np.uint8)
+
+
+def m4ri_mm_calloc(count, size):
+    return np.zeros(int(count) * int(size), np.uint8)
+
+
+def m4ri_mm_free(ptr, *args):
+    return None
+
+
+m4ri_mmc_malloc = m4ri_mm_malloc
+m4ri_mmc_calloc = m4ri_mm_calloc
+m4ri_mmc_free = m4ri_mm_free
+
+
+def m4ri_mmc_cleanup():
+    return None
+
+
+# debug-dump hooks (debug_dump.h:37-61): rolling-hash printers usable to
+# diff two engines op by op; mzd/mzp variants hash the object, scalar
+# variants print the value
+def m4ri_dd_mzd(function, line, a):
+    print(f"DD: {function}:{line} mzd {int(matrix_hash(a)):08x}")
+
+
+def m4ri_dd_mzp(function, line, p):
+    h = int(np.bitwise_xor.reduce(
+        np.asarray(p, np.uint64) * np.uint64(0x9E3779B1) ^
+        np.arange(len(np.asarray(p)), dtype=np.uint64)) & np.uint64(0xFFFFFFFF))
+    print(f"DD: {function}:{line} mzp {h:08x}")
+
+
+def m4ri_dd_int(function, line, v):
+    print(f"DD: {function}:{line} int {int(v)}")
+
+
+def m4ri_dd_rci(function, line, v):
+    print(f"DD: {function}:{line} rci {int(v)}")
+
+
+def m4ri_dd_rci_array(function, line, arr, count):
+    vals = " ".join(str(int(x)) for x in np.asarray(arr)[: int(count)])
+    print(f"DD: {function}:{line} rci[] {vals}")
+
+
+def m4ri_dd_row(function, line, a, i):
+    print(f"DD: {function}:{line} row {i} "
+          f"{int(matrix_hash(submatrix(a, i, 0, i + 1, a.ncols))):08x}")
+
+
+m4ri_dd_rawrow = m4ri_dd_row
+
+
+# --- row access / combination (mzd.h) ------------------------------------
+
+def mzd_row(a, i):
+    """Packed words of row i (uint32 lanes; the reference returns a word
+    pointer)."""
+    return np.asarray(a.data[i])
+
+
+mzd_row_const = mzd_row
+
+
+def mzd_combine(c, c_row, c_startblock, a, a_row, a_startblock,
+                b, b_row, b_startblock):
+    """C[c_row] = A[a_row] ^ B[b_row] (xor.h:44; word offsets must match
+    — every in-tree caller passes equal startblocks)."""
+    assert c_startblock == a_startblock == b_startblock, \
+        "mismatched word offsets are not part of the reference contract"
+    row = a.data[a_row] ^ b.data[b_row]
+    if c_startblock:
+        row = jnp.concatenate([c.data[c_row][:c_startblock],
+                               row[c_startblock:]])
+    return BitMatrix(c.data.at[c_row].set(row), c.ncols)
+
+
+mzd_combine_even = mzd_combine
+
+
+def mzd_combine_even_in_place(a, a_row, a_startblock, b, b_row,
+                              b_startblock):
+    """A[a_row] ^= B[b_row] from word offset (xor.h:96)."""
+    return mzd_combine(a, a_row, a_startblock, a, a_row, a_startblock,
+                       b, b_row, b_startblock)
+
+
+def mzd_is_windowed(a):
+    """Windows materialize at trace time here — no shared storage."""
+    return False
+
+
+def mzd_is_dangerous_window(a):
+    return False
+
+
+mzd_init_window_const = mzd_init_window
+
+
+# --- M4RM internals (brilliantrussian.h) ---------------------------------
+
+def mzd_make_table(m, r, c, k, t=None, l=None):
+    """Gray-code table build (brilliantrussian.c:163-211): returns (T, L)
+    where T has 2^k rows — T[i] = T[i-1] ^ M[r + inc[i-1]] with columns
+    below c cleared — and L[gray_ord[i]] = i."""
+    ordv, inc = _graycode.codebook(k)
+    two_k = 1 << k
+    rows = np.asarray(to_numpy(m))
+    tt = np.zeros((two_k, m.ncols), np.uint8)
+    ll = np.zeros(two_k, np.int64)
+    for i in range(1, two_k):
+        needed = r + int(inc[i - 1])
+        ll[int(ordv[i])] = i
+        tt[i] = tt[i - 1]
+        if needed < m.nrows:
+            tt[i] ^= rows[needed]
+    tt[:, :c] = 0
+    return from_numpy(tt), jnp.asarray(ll, jnp.int32)
+
+
+def _process_rows_n(m, startrow, stoprow, startcol, k, tables, lookups):
+    """Shared body of mzd_process_rows{,2..6}: per row, read n*k bits at
+    startcol, look up each table, XOR the rows in (brilliantrussian.c
+    :213-601).  Batched over the row range."""
+    data = m.data
+    nsel = jnp.arange(m.nrows)
+    act = (nsel >= startrow) & (nsel < stoprow)
+    delta = jnp.zeros_like(data)
+    for j, (t, l) in enumerate(zip(tables, lookups)):
+        bitsv = bitops.read_bits(m, nsel, startcol + j * k, k)
+        x = jnp.take(l, bitsv.astype(jnp.int32), mode="clip")
+        delta = delta ^ jnp.take(t.data, x, axis=0, mode="clip")
+    data = jnp.where(act[:, None], data ^ delta, data)
+    return BitMatrix(data, m.ncols)
+
+
+def mzd_process_rows(m, startrow, stoprow, startcol, k, t, l):
+    return _process_rows_n(m, startrow, stoprow, startcol, k, [t], [l])
+
+
+def _make_process_rows(n):
+    def f(m, startrow, stoprow, startcol, k, *tl):
+        tables, lookups = tl[0::2], tl[1::2]
+        assert len(tables) == n
+        return _process_rows_n(m, startrow, stoprow, startcol, k,
+                               tables, lookups)
+    f.__name__ = f"mzd_process_rows{n}"
+    return f
+
+
+mzd_process_rows2 = _make_process_rows(2)
+mzd_process_rows3 = _make_process_rows(3)
+mzd_process_rows4 = _make_process_rows(4)
+mzd_process_rows5 = _make_process_rows(5)
+mzd_process_rows6 = _make_process_rows(6)
+
+mzd_trtri_upper_russian = trtri_upper  # basecase engine name (triangular_russian.c:384)
+
+
+def mzd_addmul_mp(c, a, b, cutoff=0):
+    """OpenMP addmul analogue (mp.c:162): mesh multiply + XOR."""
+    return add(c, mzd_mul_mp(None, a, b))
+
+
+# --- capped column permutations (mzp.c:262-292) --------------------------
+
+def _apply_p_right_capped(m, v, start_row, start_col, trans):
+    full = apply_p_right_trans(m, v) if trans else apply_p_right(m, v)
+    i = jnp.arange(m.nrows)
+    data = jnp.where((i >= start_row)[:, None], full.data, m.data)
+    return BitMatrix(data, m.ncols)
+
+
+def mzd_apply_p_right_even_capped(a, p, start_row, start_col):
+    """Column permutation applied only to rows >= start_row; the swap
+    entries must not move columns below start_col (the in-tree contract —
+    ple.c uses it on the trailing block only)."""
+    return _apply_p_right_capped(a, p, start_row, start_col, trans=False)
+
+
+def mzd_apply_p_right_trans_even_capped(a, p, start_row, start_col):
+    return _apply_p_right_capped(a, p, start_row, start_col, trans=True)
+
+
+# --- mzp long tail --------------------------------------------------------
+
+def mzp_copy(dst, src=None):
+    p = src if src is not None else dst
+    return jnp.asarray(np.asarray(p).copy())
+
+
+def mzp_free(p):
+    return None
+
+
+def mzp_init_window(p, begin, end):
+    """Window into a swap array (mzp.c:40): shares values begin..end."""
+    return p[begin:end]
+
+
+mzp_init_mzp_t_window = mzp_init_window
+
+
+def mzp_free_window(p):
+    return None
+
+
+mzp_free_mzp_t_window = mzp_free_window
+
+
+def mzp_print(p):
+    print("[ " + " ".join(str(int(x)) for x in np.asarray(p)) + " ]")
+
+
+# --- printing long tail ---------------------------------------------------
+
+def mzd_fprint(f, a):
+    f.write(io.to_text(a) + "\n")
+
+
+def mzd_print_row(a, i):
+    print(io.to_text(submatrix(a, i, 0, i + 1, a.ncols)))
+
+
+# --- DJB builder API (djb.h) ---------------------------------------------
+
+from .models.djb import SOURCE_INPUT as source_source  # noqa: F401
+from .models.djb import SOURCE_OUTPUT as source_target  # noqa: F401
+from .models.djb import DjbProgram as _DjbProgram
+
+
+def djb_init(nrows, ncols):
+    """Empty straight-line XOR program (djb.c)."""
+    return _DjbProgram(nrows, ncols, [], [], [])
+
+
+def djb_push_back(z, target, source, srctyp):
+    z.target.append(int(target))
+    z.source.append(int(source))
+    z.srctyp.append(int(srctyp))
+    return z
+
+
+def djb_free(z):
+    return None
+
+
+def djb_info(z):
+    full = z.nrows * z.ncols
+    print(f"{z.length} xors in {z.nrows} rows (naive: {full}, "
+          f"saving: {1.0 - z.length / max(full, 1):.2f})")
+
+
+__all__ = [n for n in dir()
+           if n.startswith(("mzd_", "mzp_", "m4ri_", "djb_", "source_"))]

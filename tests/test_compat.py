@@ -96,3 +96,104 @@ def test_inv_m4ri_raises_on_singular(rng):
     import oracle
     np.testing.assert_array_equal(
         oracle.mul(u, m4.to_numpy(inv)), np.eye(16, dtype=np.uint8))
+
+
+def test_compat_umbrella_surface_complete():
+    """Every public (non-underscore) function name declared in the
+    reference umbrella header's modules must exist in the compat layer —
+    the round-1 VERDICT's 'grep of m4ri.h is empty' criterion."""
+    import glob
+    import re
+    hdrs = glob.glob("/root/reference/m4ri/*.h")
+    if not hdrs:
+        import pytest
+        pytest.skip("reference tree not available")
+    text = "".join(open(h).read() for h in hdrs)
+    names = set(re.findall(r"\b((?:mzd|mzp|m4ri|djb)_[a-z0-9_]+)\s*\(", text))
+    missing = sorted(n for n in names if not hasattr(m4ri, n)
+                     and not hasattr(m4, n))
+    assert not missing, f"compat gaps: {missing}"
+
+
+def test_compat_make_table_process_rows(rng):
+    """mzd_make_table + mzd_process_rows must perform a correct Gray-code
+    elimination step: rows reduce to zero in the k pivot columns."""
+    k = 4
+    a_np = random_dense(rng, 40, 64)
+    # make rows 0..k-1 a full-rank basis of the leading k columns
+    a_np[:k, :k] = np.eye(k, dtype=np.uint8)
+    A = m4.from_numpy(a_np)
+    T, L = m4ri.mzd_make_table(A, 0, 0, k)
+    out = m4ri.mzd_process_rows(A, k, 40, 0, k, T, L)
+    got = m4.to_numpy(out)
+    # after processing, every row's leading k bits are zero
+    assert (got[k:, :k] == 0).all()
+    # and each processed row differs from the original by a span element
+    t_np = m4.to_numpy(T)
+    for i in (k, 17, 39):
+        diff = got[i] ^ a_np[i]
+        assert any((diff == t).all() for t in t_np), f"row {i}"
+
+
+def test_compat_combine_and_rows(rng):
+    a_np = random_dense(rng, 8, 70)
+    b_np = random_dense(rng, 8, 70)
+    A, B = m4.from_numpy(a_np), m4.from_numpy(b_np)
+    C = m4ri.mzd_combine(A, 3, 0, A, 1, 0, B, 2, 0)
+    want = a_np.copy()
+    want[3] = a_np[1] ^ b_np[2]
+    np.testing.assert_array_equal(m4.to_numpy(C), want)
+    C2 = m4ri.mzd_combine_even_in_place(A, 0, 0, B, 7, 0)
+    np.testing.assert_array_equal(m4.to_numpy(C2)[0], a_np[0] ^ b_np[7])
+    np.testing.assert_array_equal(m4ri.mzd_row(A, 5),
+                                  np.asarray(A.data[5]))
+
+
+def test_compat_capped_right_perm(rng):
+    """Capped column permutation touches only rows >= start_row."""
+    import jax.numpy as jnp
+    a_np = random_dense(rng, 10, 40)
+    A = m4.from_numpy(a_np)
+    p = jnp.asarray(np.arange(40, dtype=np.int32))
+    p = p.at[3].set(9)  # swap cols 3<->9 (LAPACK style)
+    full = m4ri.mzd_apply_p_right(A, p)
+    capped = m4ri.mzd_apply_p_right_even_capped(A, p, 6, 0)
+    got = m4.to_numpy(capped)
+    np.testing.assert_array_equal(got[:6], a_np[:6])
+    np.testing.assert_array_equal(got[6:], m4.to_numpy(full)[6:])
+
+
+def test_compat_djb_builder(rng):
+    """A hand-built DJB program via djb_init/push_back applies like the
+    compiled one."""
+    from m4ri_tpu.models.djb import djb_apply
+    # replay is in reverse (djb.c:142-153), so later list entries run
+    # first: y0 = x1; y1 = x0 ^ y0  (i.e. y1 = x0 ^ x1)
+    z = m4ri.djb_init(2, 2)
+    z = m4ri.djb_push_back(z, 1, 0, m4ri.source_target)
+    z = m4ri.djb_push_back(z, 1, 0, m4ri.source_source)
+    z = m4ri.djb_push_back(z, 0, 1, m4ri.source_source)
+    v = m4.from_numpy(np.array([[1], [1]], np.uint8))
+    y = m4.to_numpy(djb_apply(z, v))
+    np.testing.assert_array_equal(y, [[1], [0]])
+
+
+def test_compat_misc_long_tail():
+    assert m4ri.m4ri_gray_code(3, 3) == (3 ^ (3 >> 1))
+    assert m4ri.m4ri_radix == 32
+    assert m4ri.m4ri_coin_flip() in (0, 1)
+    ordv, inc = m4ri.m4ri_build_code(3)
+    assert len(ordv) == 8 and len(inc) == 8  # reference allocates 2^k each
+    try:
+        m4ri.m4ri_die("boom %d", 7)
+    except RuntimeError as e:
+        assert "boom 7" in str(e)
+    else:
+        raise AssertionError("m4ri_die must raise")
+    assert m4ri.m4ri_init() is None and m4ri.m4ri_fini() is None
+    buf = m4ri.m4ri_mm_malloc_aligned(128)
+    assert buf.shape == (128,)
+    p = m4ri.mzp_init(6)
+    w = m4ri.mzp_init_window(p, 2, 5)
+    assert list(np.asarray(w)) == [2, 3, 4]
+    assert m4ri.mzp_free(p) is None
