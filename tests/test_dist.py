@@ -49,3 +49,36 @@ def test_dryrun_entry():
     out = jax.jit(fn)(*args)
     assert out.shape == (2048, 64)
     g.dryrun_multichip(8)
+
+
+def test_multihost_mesh_layout(rng, monkeypatch):
+    """Simulated 2-host topology over the 8 virtual devices: the DCN
+    (host) axis must be the outer mesh rows — host-major layout — and the
+    distributed engines must run unchanged over that mesh (their panel
+    all-gathers then ride the inner/ICI axis, SURVEY §5 'distributed
+    backend')."""
+    import jax
+    from m4ri_tpu.parallel.mesh import make_multihost_mesh
+    monkeypatch.setattr(jax, "process_count", lambda: 2, raising=False)
+    mesh = make_multihost_mesh()
+    assert dict(mesh.shape) == {"x": 2, "y": 4}
+    # rows = hosts: device ids 0..3 on host row 0, 4..7 on row 1
+    ids = np.array([[d.id for d in row] for row in mesh.devices])
+    np.testing.assert_array_equal(ids, np.arange(8).reshape(2, 4))
+    a = random_dense(rng, 96, 128)
+    b = random_dense(rng, 128, 64)
+    C = mul_dist(m4.from_numpy(a), m4.from_numpy(b), mesh)
+    np.testing.assert_array_equal(m4.to_numpy(C), oracle.mul(a, b))
+    # factorization family over the host-major mesh (1-D row sharding
+    # spanning both hosts)
+    from jax.sharding import Mesh
+    from m4ri_tpu.parallel.dist_ple import dist_ple
+    from m4ri_tpu.models.ple import ple
+    mesh1d = Mesh(mesh.devices.reshape(8, 1), ("x", "y"))
+    sq = random_dense(rng, 96, 64)
+    SQ = m4.from_numpy(sq)
+    Mg, Pg, Qg, rg = dist_ple(SQ, mesh1d, nb=32, window=64)
+    Mw, Pw, Qw, rw = ple(SQ, nb=32)
+    assert int(rg) == int(rw)
+    np.testing.assert_array_equal(m4.to_numpy(Mg), m4.to_numpy(Mw))
+    np.testing.assert_array_equal(np.asarray(Pg), np.asarray(Pw))
