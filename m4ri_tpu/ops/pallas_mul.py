@@ -253,6 +253,15 @@ def gf2_mul_pallas(a_data: jnp.ndarray, b_data: jnp.ndarray,
             tnw = tnw or int(hit[1])
         tm = tm or TM
         tnw = tnw or TNW
+    if not interpret:
+        # Mosaic requires the out-block dims to be (divisible by 8,
+        # divisible by 128) or to span the whole (padded) array; a tile
+        # narrower than the matrix and not 128-word aligned would be
+        # rejected at lowering, so clamp it up front (the interpreter
+        # accepts any tiling, hence the gate).
+        tm = _round_up(tm, 8)
+        if tnw % 128 != 0 and tnw < nw:
+            tnw = min(_round_up(nw, 128), _round_up(tnw, 128))
     tkw = min(TKW, kw)
     m_pad = _round_up(m, tm)
     kw_pad = _round_up(kw, tkw)
