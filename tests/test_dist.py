@@ -82,3 +82,24 @@ def test_multihost_mesh_layout(rng, monkeypatch):
     assert int(rg) == int(rw)
     np.testing.assert_array_equal(m4.to_numpy(Mg), m4.to_numpy(Mw))
     np.testing.assert_array_equal(np.asarray(Pg), np.asarray(Pw))
+
+
+def test_stretch_mul_262144_lowers(mesh):
+    """The multi-host stretch config (BASELINE.json: mul n=262144) lowers
+    end-to-end over the mesh: abstract AOT trace, no buffers allocated.
+    Validates that the SUMMA sharding rules and all-gather collectives
+    compose at a size no single chip can hold (3 operands = 25.8 GB packed
+    vs 16 GB HBM), i.e. the design scales by adding devices, not memory."""
+    import jax
+    import jax.numpy as jnp
+    from m4ri_tpu.core.bitmatrix import BitMatrix, width_for
+    n = 262144
+    w = width_for(n)
+
+    def f(ad, bd):
+        return mul_dist(BitMatrix(ad, n), BitMatrix(bd, n), mesh).data
+
+    spec = jax.ShapeDtypeStruct((n, w), jnp.uint32)
+    lowered = jax.jit(f).lower(spec, spec)
+    txt = lowered.as_text()
+    assert "all-gather" in txt or "all_gather" in txt
