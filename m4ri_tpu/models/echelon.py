@@ -34,12 +34,6 @@ from .triangular import trsm_upper_left
 # remote-compile path (>16 min at n=16384 measured); split, the loop
 # program compiles in ~2 min cold and the straight-line pass in seconds,
 # at the cost of one extra ~40 ms dispatch.
-def _jit_shapes(fn):
-    import inspect
-    names = [p for p in inspect.signature(fn).parameters
-             if p in ("full", "nb", "k", "search_window", "m", "n")]
-    return functools.partial(jax.jit, static_argnames=tuple(names))(fn)
-
 __all__ = ["echelonize", "echelonize_pluq", "top_echelonize", "rank",
            "invert", "invert_naive"]
 
@@ -149,9 +143,6 @@ def _pluq_echelon_post(data, q, r, m: int, n: int, full: bool):
     if m > rmax:
         top = jnp.concatenate(
             [top, jnp.zeros((m - rmax, top.shape[1]), jnp.uint32)], axis=0)
-    else:
-        zero_tail = jnp.zeros((0, top.shape[1]), jnp.uint32)
-        top = jnp.concatenate([top, zero_tail], axis=0)
     # rows >= r must be zero (they hold only L bits, all cleared above)
     if not full:
         return mask_padding(BitMatrix(top, n)), r

@@ -142,7 +142,6 @@ def kernel_left(a: BitMatrix, nb: int | None = None):
     order* are nonzero exactly at the n-r free columns (pivot columns of X
     are zero); count = n - r.  A X == 0 always holds."""
     n = a.ncols
-    rmax = min(a.nrows, n)
     rref, q, r = echelonize_with_pivots(a, nb=nb)
     return _kernel_post(rref.data, q, r, a.nrows, n)
 

@@ -89,8 +89,7 @@ def _trtri(t: BitMatrix, upper: bool, mul_fn=None) -> BitMatrix:
     if upper:
         b = submatrix(t, 0, n1, n1, n)
         tr = mul_fn(mul_fn(ai, b), di)  # Ai B Di (n1 x n2)
-        top = jnp.concatenate(
-            [ai.data, jnp.pad(tr.data, ((0, 0), (0, 0)))], axis=1)
+        top = jnp.concatenate([ai.data, tr.data], axis=1)
         bot = jnp.concatenate(
             [jnp.zeros((n - n1, w1), jnp.uint32), di.data], axis=1)
     else:

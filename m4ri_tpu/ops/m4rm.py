@@ -79,7 +79,10 @@ def _addmul_m4rm_impl(cdata, adata, bdata, kk: int, k: int):
     if bd.shape[0] < kk_pad:
         bd = jnp.pad(bd, ((0, kk_pad - bd.shape[0]), (0, 0)))
     b3 = bd.reshape(nslices, k, nw)
-    tables = jax.vmap(lambda bs: mul_packed_data(sel, bs))(b3)
+    # allow_pallas=False: under vmap the Pallas kernel's manual-DMA refs
+    # would be batch-lowered per slice; XLA's batched dot is the right tool
+    tables = jax.vmap(
+        lambda bs: mul_packed_data(sel, bs, allow_pallas=False))(b3)
     # tables: (nslices, 2^k, nw)
 
     acc = cdata

@@ -77,12 +77,16 @@ def _dot_parity(a_u: jnp.ndarray, b_u: jnp.ndarray) -> jnp.ndarray:
 
 
 def mul_packed_data(a_data: jnp.ndarray, b_data: jnp.ndarray,
-                    cfg=None) -> jnp.ndarray:
+                    cfg=None, allow_pallas: bool = True) -> jnp.ndarray:
     """Packed uint32[m, kw] x uint32[k, nw] -> packed uint32[m, nw].
 
     Requires b_data padding bits to be zero (BitMatrix invariant).  The
     contraction runs over a_data's padded width; A's padding lanes are zero
     so the padded rows of B (all-zero) contribute nothing.
+
+    ``allow_pallas=False`` pins the XLA path; callers that trace this under
+    jax.vmap must pass it (the kernel's manual-DMA refs are not
+    batch-lowered, and XLA's batched dot is the right tool there anyway).
     """
     if cfg is None:
         cfg = get_config()
@@ -95,15 +99,15 @@ def mul_packed_data(a_data: jnp.ndarray, b_data: jnp.ndarray,
     # XLA path would materialize an m x n int32 product in HBM — a 32x
     # traffic inflation that dominates when k is small (the Schur updates
     # of the panel factorization have k = panel width = 128).
-    if (cfg.use_pallas_schur and kw <= 32 and m >= 2048 and nw >= 128
-            and jax.default_backend() == "tpu"):
+    if (allow_pallas and cfg.use_pallas_schur and kw <= 32 and m >= 2048
+            and nw >= 128 and jax.default_backend() == "tpu"):
         from .pallas_mul import gf2_mul_pallas
         return gf2_mul_pallas(a_data, b_data)
 
     # Large deep products likewise: XLA's single fused dot loses above
     # ~4096 (276 vs 386 Tbit-op/s at n=4096, 37 vs 375 at n=16384) and
     # the blocked XLA path materializes unpacked operands.
-    if (cfg.use_pallas_big and m >= 2048 and nw >= 128
+    if (allow_pallas and cfg.use_pallas_big and m >= 2048 and nw >= 128
             and max(m, kp, nw * WORD_BITS) >= cfg.pallas_big_min
             and jax.default_backend() == "tpu"):
         from .pallas_mul import gf2_mul_pallas

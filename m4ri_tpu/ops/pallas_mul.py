@@ -69,7 +69,7 @@ def _make_kernel(tm: int, tkw: int, tnw: int):
     tk = tkw * WORD_BITS
     tn = tnw * WORD_BITS
 
-    def _kernel(at_hbm, bp_hbm, o_ref, acc_ref, abuf, bbuf, sems):
+    def _kernel(at_hbm, bp_hbm, o_ref, abuf, bbuf, sems):
         # Operands arrive i/j-tiled — at: (I, kw, tm), bp: (J, k, tnw) — so
         # every DMA below reads a fully CONTIGUOUS chunk.  With the flat 2-D
         # layouts the strided row reads (512 B useful per 8 KB stride at
@@ -116,19 +116,19 @@ def _make_kernel(tm: int, tkw: int, tnw: int):
     return _kernel
 
 
-@functools.lru_cache(maxsize=64)
-def _row_perm(k_pad: int, tkw: int) -> np.ndarray:
-    """B-row permutation matching the plane layout of A's unpacked
-    contraction lanes (per tk group)."""
-    tk = tkw * WORD_BITS
-    l = np.arange(k_pad)
-    grp, lane = np.divmod(l, tk)
-    s, w = np.divmod(lane, tkw)
-    return grp * tk + WORD_BITS * w + s
-
-
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _clamp_tiles(tm: int, tnw: int, nw: int) -> tuple[int, int]:
+    """Mosaic requires the out-block dims to be (divisible by 8, divisible
+    by 128 words) or to span the whole (padded) array; a tile narrower than
+    the matrix and not 128-word aligned would be rejected at lowering, so
+    clamp up front (the interpreter accepts any tiling and skips this)."""
+    tm = _round_up(tm, 8)
+    if tnw % 128 != 0 and tnw < nw:
+        tnw = min(_round_up(nw, 128), _round_up(tnw, 128))
+    return tm, tnw
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tkw", "tnw", "interpret"))
@@ -139,7 +139,6 @@ def _mul_padded(at, bp, tm: int, tkw: int, tnw: int,
     m = n_i * tm
     nw = n_j * tnw
     tk = tkw * WORD_BITS
-    tn = tnw * WORD_BITS
     grid = (m // tm, nw // tnw)
     return pl.pallas_call(
         _make_kernel(tm, tkw, tnw),
@@ -152,7 +151,6 @@ def _mul_padded(at, bp, tm: int, tkw: int, tnw: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, nw), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((tm, tn), jnp.int32),
             pltpu.VMEM((2, tkw, tm), jnp.uint32),
             pltpu.VMEM((2, tk, tnw), jnp.uint32),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -207,8 +205,18 @@ def autotune(m: int, k: int, n: int, candidates=None, reps: int = 3):
                       (256, 256), (512, 128)]
     a = jax.random.bits(jax.random.PRNGKey(0), (m, kw), dtype=jnp.uint32)
     b = jax.random.bits(jax.random.PRNGKey(1), (k, nw), dtype=jnp.uint32)
-    best, best_t = None, float("inf")
+    # dedupe by the tile the lowering clamp will actually run, and record
+    # that effective tile, so the persisted cache never lies about what
+    # was measured
+    seen = set()
+    effective = []
     for tm, tnw in candidates:
+        eff = _clamp_tiles(tm, tnw, nw)
+        if eff not in seen:
+            seen.add(eff)
+            effective.append(eff)
+    best, best_t = None, float("inf")
+    for tm, tnw in effective:
         def run(tm=tm, tnw=tnw):
             jax.device_get(gf2_mul_pallas(a, b, tm=tm, tnw=tnw)[:8])
         try:
@@ -254,14 +262,7 @@ def gf2_mul_pallas(a_data: jnp.ndarray, b_data: jnp.ndarray,
         tm = tm or TM
         tnw = tnw or TNW
     if not interpret:
-        # Mosaic requires the out-block dims to be (divisible by 8,
-        # divisible by 128) or to span the whole (padded) array; a tile
-        # narrower than the matrix and not 128-word aligned would be
-        # rejected at lowering, so clamp it up front (the interpreter
-        # accepts any tiling, hence the gate).
-        tm = _round_up(tm, 8)
-        if tnw % 128 != 0 and tnw < nw:
-            tnw = min(_round_up(nw, 128), _round_up(tnw, 128))
+        tm, tnw = _clamp_tiles(tm, tnw, nw)
     tkw = min(TKW, kw)
     m_pad = _round_up(m, tm)
     kw_pad = _round_up(kw, tkw)

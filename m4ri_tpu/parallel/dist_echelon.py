@@ -51,7 +51,6 @@ def _factor_local(a_loc, m: int, n: int, nb: int, mesh):
     offset = my * mloc
 
     gidx = jnp.arange(m_tot, dtype=jnp.int32)
-    lidx = jnp.arange(mloc, dtype=jnp.int32)
     jrow = jnp.arange(nb, dtype=jnp.int32)
     widx = jnp.arange(w_pad, dtype=jnp.int32)
     eye_nb = jnp.eye(nb, dtype=jnp.int8)

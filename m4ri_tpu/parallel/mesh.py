@@ -36,10 +36,15 @@ def make_multihost_mesh(axis_names=("x", "y"),
     """Mesh spanning multiple hosts (DCN + ICI).
 
     Layout discipline: the host (DCN) dimension becomes the *outer* rows of
-    the "x" axis and each host's chips fill the inner columns, so the
-    per-panel all-gathers of dist_ple/dist_echelon and the SUMMA gathers of
-    dist_mul ride ICI within a host, while only the row-block boundary
-    crossings use DCN.  Call once per process; when the JAX distributed
+    the "x" axis and each host's chips fill the inner "y" columns, so every
+    "y"-axis collective is intra-host ICI by construction.  For dist_mul's
+    SUMMA that means the A row-panel all-gather (the larger transfer: each
+    device receives ~(ry-1)/ry * m*kw/rx words) rides ICI, while the B
+    column-panel gather along "x" crosses DCN but moves the smaller volume
+    (~(rx-1)/rx * k*nw/ry words with rx = n_hosts << ry).  The 1-D
+    row-sharded factorizations (dist_ple/dist_echelon) gather fixed-width
+    panels along the sharded axis, so their per-panel DCN traffic is the
+    panel slice only.  Call once per process; when the JAX distributed
     runtime is already initialized (e.g. by the launcher) the arguments are
     ignored.  Single-process fallback: identical to make_mesh().
     """
