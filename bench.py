@@ -35,7 +35,8 @@ def bench_mul(n: int = 4096, samples: int = 5):
 
     import jax
     import jax.numpy as jnp
-    from m4ri_tpu.ops.mul import mul_packed_data
+    from m4ri_tpu.core.bitmatrix import BitMatrix
+    from m4ri_tpu.ops.mul import mul
 
     w = n // 32
     a = jax.random.bits(jax.random.PRNGKey(0), (n, w), dtype=jnp.uint32)
@@ -43,16 +44,24 @@ def bench_mul(n: int = 4096, samples: int = 5):
 
     # NOTE: unrolled chain, not lax.fori_loop — dynamic-trip-count loops
     # compile ~100x slower through the axon remote-compile tunnel.
+    # The chain goes through the production mul() dispatch (Strassen above
+    # 2x the cutoff, fused Pallas kernel below), i.e. exactly what a user
+    # calling m4.mul gets.
     @functools.partial(jax.jit, static_argnames="iters")
     def chain(a, b, iters):
+        B = BitMatrix(b, n)
         for _ in range(iters):
-            a = mul_packed_data(a, b)
+            a = mul(BitMatrix(a, n), B).data
         return a
 
-    # Small chain programs: the remote-compile service has high and
-    # variable latency, roughly proportional to program size.
+    # Chain lengths trade compile size (the remote-compile service has
+    # high latency roughly proportional to program size) against timing
+    # SNR: the slope difference must dominate the ~40 ms RPC jitter, so
+    # small-n configs (sub-ms per product) need long chains.
     lo, hi = 1, 9
-    if n >= 16384:
+    if n <= 8192:
+        lo, hi = 4, 44
+    elif n >= 16384:
         lo, hi = 1, 5
 
     # device_get forces real completion (block_until_ready returns early

@@ -263,7 +263,10 @@ def gf2_mul_pallas(a_data: jnp.ndarray, b_data: jnp.ndarray,
         tnw = tnw or TNW
     if not interpret:
         tm, tnw = _clamp_tiles(tm, tnw, nw)
-    tkw = min(TKW, kw)
+    # tkw must stay 8-sublane aligned: the kernel DMAs (tkw, tm) slices of
+    # the word-transposed A, and Mosaic rejects sublane slices not aligned
+    # to the (8, 128) tiling (seen at kw=5, i.e. 150-column operands).
+    tkw = min(TKW, _round_up(kw, 8))
     m_pad = _round_up(m, tm)
     kw_pad = _round_up(kw, tkw)
     k_pad = kw_pad * WORD_BITS

@@ -164,6 +164,12 @@ def gf2_schur_update(c_data: jnp.ndarray, lp_data: jnp.ndarray,
             c_data = jnp.pad(c_data, ((0, 0), (0, pad)))
             up_data = jnp.pad(up_data, ((0, 0), (0, pad)))
             nw += pad
+        # The L chunk is DMA'd as a (kw, tm) sublane slice, so kw must be
+        # 8-sublane aligned (Mosaic rejects e.g. the kw=5 of a 150-column
+        # panel).  Extra L words are zero and meet zero-padded U rows.
+        if kw % 8:
+            lp_data = jnp.pad(lp_data, ((0, 0), (0, _round_up(kw, 8) - kw)))
+            kw = lp_data.shape[1]
     if tm is None:
         tm = _tile_div(m, 256)
     if tnw is None:

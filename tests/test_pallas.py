@@ -119,9 +119,46 @@ def test_pallas_schur_update_shallow_k_interpret(rng):
                 interpret=True)
 
 
+def test_pallas_mul_odd_word_count_interpret(rng):
+    # kw = ceil(150/32) = 5: not 8-sublane aligned — the word axis must be
+    # padded before the (tkw, tm) DMA chunks (Mosaic rejects unaligned
+    # sublane slices; regression for a real-TPU compile failure).
+    _mul_case(rng, 256, 150, 4096, 128, 32, interpret=True)
+
+
+def test_pallas_schur_update_odd_word_count_interpret(rng):
+    _schur_case(rng, 256, 150, 1024, 64, 0, tm=64, tnw=32, interpret=True)
+
+
 @tpu_only
 def test_pallas_mul_tpu(rng):
     _mul_case(rng, 512, 2048, 4096, 256, 32, interpret=False)
+
+
+@tpu_only
+def test_pallas_mul_odd_word_count_tpu(rng):
+    # exercises the real Mosaic lowering at kw=5 (alignment regression)
+    _mul_case(rng, 512, 150, 4096, 256, 32, interpret=False)
+
+
+@tpu_only
+def test_pallas_schur_update_odd_word_count_tpu(rng):
+    _schur_case(rng, 512, 150, 4096, 64, 1024, tm=256, tnw=128,
+                interpret=False)
+
+
+@tpu_only
+def test_ple_small_odd_width_tpu(rng):
+    """End-to-end PLE of a 200x150 matrix on the production TPU path (the
+    shape class that exposed the kw=5 Mosaic alignment failure)."""
+    a = random_dense(rng, 200, 150)
+    A = m4.from_numpy(a)
+    from m4ri_tpu.models.ple import block_factor
+    want = block_factor(A, preserve_l=True, engine="xla")
+    got = block_factor(A, preserve_l=True)  # engine auto: pallas on TPU
+    for g, w, what in zip(got, want, ["data", "P", "Q", "rank"]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      err_msg=what)
 
 
 @tpu_only
