@@ -100,6 +100,10 @@ def _schur_padded(bounds, c, at3, bp3, tm: int, tkw: int, tnw: int,
         out_specs=pl.BlockSpec((tm, tnw), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, nw), jnp.uint32),
+        # C updates in place: every (i, j) tile is visited exactly once and
+        # read before the write, so aliasing is safe — and it removes a
+        # full-size output allocation + copy per panel inside the scan.
+        input_output_aliases={1: 0},
         scratch_shapes=[
             pltpu.VMEM((tk, tn), jnp.int8),      # unpacked-U cache
             pltpu.VMEM((tkw, tm), jnp.uint32),   # L chunk
