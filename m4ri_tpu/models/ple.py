@@ -207,7 +207,7 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
         return run_panel_loop(panel_words, r, base, t, r_in, m, nb,
                               preserve_l, search_window, engine)
 
-    def panel(carry, t):
+    def panel(carry, t, j0: int = 0):
         A, P, Q, r = carry
         r_in = r
         c0w = t * nbw
@@ -329,13 +329,33 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
             # trailing edge and XORs in place (ops/pallas_schur.py)
             from ..ops.pallas_schur import gf2_schur_update
             A = gf2_schur_update(A, Lpw, up, r_in, (t + 1) * nbw,
+                                 col_tile_skip=j0,
                                  interpret=(engine == "pallas_interpret"))
         else:
             A = A ^ mul_packed_data(Lpw, up)
         return (A, P, Q, r), None
 
-    (A, P, Q, r), _ = lax.scan(
-        panel, (A, P, Q, jnp.int32(0)), jnp.arange(n_panels, dtype=jnp.int32))
+    carry = (A, P, Q, jnp.int32(0))
+    # Group the sweep by Schur-kernel column tiles: within group g every
+    # panel's trailing edge is right of tile g, so the kernel can statically
+    # skip streaming the first g tiles (col_tile_skip).  One scan body per
+    # group; the packed analogue of the reference recursing on the trailing
+    # quadrant (ple.c:122-127).
+    tnw_s = 128  # gf2_schur_update's tile for 128-multiple word counts
+    grouped = (engine in ("pallas", "pallas_interpret")
+               and get_config().schur_col_skip
+               and w_pad % tnw_s == 0 and w_pad // tnw_s > 1
+               and (tnw_s * WORD_BITS) % nb == 0)
+    if grouped:
+        ppt = tnw_s * WORD_BITS // nb  # panels per column tile
+        for g0 in range(0, n_panels, ppt):
+            ts = jnp.arange(g0, min(g0 + ppt, n_panels), dtype=jnp.int32)
+            carry, _ = lax.scan(
+                functools.partial(panel, j0=g0 // ppt), carry, ts)
+    else:
+        carry, _ = lax.scan(panel, carry,
+                            jnp.arange(n_panels, dtype=jnp.int32))
+    A, P, Q, r = carry
     return A[:m, : data.shape[1]], P[:m], Q[:n], r
 
 

@@ -42,12 +42,12 @@ from .pallas_mul import _pack_planes, _unpack_planes_ax0, _unpack_planes_ax1
 __all__ = ["gf2_schur_update"]
 
 
-def _make_kernel(tm: int, tkw: int, tnw: int):
+def _make_kernel(tm: int, tkw: int, tnw: int, j0: int = 0):
     tk = tkw * WORD_BITS
 
     def _kernel(bounds, c_in, at_hbm, bp_hbm, o_ref, ub_ref, abuf, bbuf,
                 sems):
-        j = pl.program_id(0)
+        j = pl.program_id(0) + j0
         i = pl.program_id(1)
         r0 = bounds[0]
         c0w = bounds[1]
@@ -80,24 +80,27 @@ def _make_kernel(tm: int, tkw: int, tnw: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tm", "tkw", "tnw", "interpret"))
+                   static_argnames=("tm", "tkw", "tnw", "j0", "interpret"))
 def _schur_padded(bounds, c, at3, bp3, tm: int, tkw: int, tnw: int,
-                  interpret: bool = False):
+                  j0: int = 0, interpret: bool = False):
     m, nw = c.shape
     tk = tkw * WORD_BITS
     tn = tnw * WORD_BITS
-    grid = (nw // tnw, m // tm)  # j outer, i fastest (U-cache per column)
+    # j0 = column tiles statically known to be left of the trailing edge
+    # (c0w >= j0*tnw): the grid never visits them and, with the in-place
+    # aliasing, their data stays put without being streamed at all.
+    grid = (nw // tnw - j0, m // tm)  # j outer, i fastest (U-cache/column)
     return pl.pallas_call(
-        _make_kernel(tm, tkw, tnw),
+        _make_kernel(tm, tkw, tnw, j0),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tm, tnw), lambda j, i: (i, j),
+            pl.BlockSpec((tm, tnw), lambda j, i: (i, j + j0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((tm, tnw), lambda j, i: (i, j),
+        out_specs=pl.BlockSpec((tm, tnw), lambda j, i: (i, j + j0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, nw), jnp.uint32),
         # C updates in place: every (i, j) tile is visited exactly once and
@@ -137,6 +140,7 @@ def _tile_div(total: int, pref: int) -> int:
 def gf2_schur_update(c_data: jnp.ndarray, lp_data: jnp.ndarray,
                      up_data: jnp.ndarray, r0, c0w,
                      tm: int | None = None, tnw: int | None = None,
+                     col_tile_skip: int = 0,
                      interpret: bool = False) -> jnp.ndarray:
     """Packed GF(2) fused update ``C ^ Lp @ Up`` with dynamic tile bounds.
 
@@ -145,6 +149,15 @@ def gf2_schur_update(c_data: jnp.ndarray, lp_data: jnp.ndarray,
     above ``r0`` are zero, and columns of up left of packed word ``c0w``
     are zero — tiles entirely inside those regions are passed through
     without computing, which is exact because their delta is zero.
+
+    ``col_tile_skip``: number of leading column tiles the caller statically
+    guarantees lie left of the trailing edge (col_tile_skip * tnw <= c0w
+    for every runtime c0w).  Those tiles are never even streamed — with
+    the in-place output aliasing their bytes are untouched — which is
+    what makes the panel sweep's C traffic shrink as the sweep advances
+    (the packed analogue of the reference recursing on the trailing
+    quadrant, ple.c:122-127).  Requires tiles to be known: only applied
+    when the caller also fixes tm/tnw.
     """
     m, nw = c_data.shape
     m2, kw = lp_data.shape
@@ -193,7 +206,10 @@ def gf2_schur_update(c_data: jnp.ndarray, lp_data: jnp.ndarray,
     bp3 = bp.reshape(k_pad, nw // tnw, tnw).swapaxes(0, 1)  # (J, tk, tnw)
     bounds = jnp.stack([jnp.asarray(r0, jnp.int32),
                         jnp.asarray(c0w, jnp.int32)])
-    out = _schur_padded(bounds, c_data, at3, bp3, tm, tkw, tnw, interpret)
+    assert 0 <= col_tile_skip < nw // tnw or col_tile_skip == 0, \
+        (col_tile_skip, nw, tnw)
+    out = _schur_padded(bounds, c_data, at3, bp3, tm, tkw, tnw,
+                        col_tile_skip, interpret)
     if (m_in, nw_in) != (m, nw):
         out = out[:m_in, :nw_in]
     return out

@@ -72,6 +72,11 @@ class Config:
     # panel width makes that fallback vanishingly rare for generic inputs
     # while keeping the serial loop's working set VMEM-sized.
     panel_window: int = 512
+    # Split the panel sweep into column-tile groups so the fused Schur
+    # kernel statically skips streaming the already-factored tiles
+    # (ops/pallas_schur.py col_tile_skip).  Costs one scan body per group
+    # at compile time; disable if a remote-compile environment chokes.
+    schur_col_skip: bool = True
     # Provenance of the derived values ("tpu:<kind>", "cpu", "default").
     derived_from: str = "default"
 

@@ -119,6 +119,40 @@ def test_pallas_schur_update_shallow_k_interpret(rng):
                 interpret=True)
 
 
+def test_pallas_schur_col_tile_skip_interpret(rng):
+    """col_tile_skip must be a pure no-op on the result whenever the
+    skipped tiles lie left of the zero-column region of up."""
+    from m4ri_tpu.ops.pallas_schur import gf2_schur_update
+    m, k, n = 256, 128, 4096 * 2  # nw = 256 words = 2 tiles of 128
+    c = random_dense(rng, m, n)
+    lp = random_dense(rng, m, k)
+    up = random_dense(rng, k, n)
+    lp[:64] = 0
+    up[:, : 128 * 32] = 0  # first column tile entirely zero
+    C, L, U = m4.from_numpy(c), m4.from_numpy(lp), m4.from_numpy(up)
+    base = gf2_schur_update(C.data, L.data, U.data, 64, 128,
+                            tm=64, tnw=128, interpret=True)
+    skip = gf2_schur_update(C.data, L.data, U.data, 64, 128,
+                            tm=64, tnw=128, col_tile_skip=1, interpret=True)
+    np.testing.assert_array_equal(np.asarray(skip), np.asarray(base))
+    np.testing.assert_array_equal(
+        m4.to_numpy(m4.BitMatrix(skip, n)), c ^ oracle.mul(lp, up))
+
+
+def test_block_factor_grouped_col_skip_interpret(rng):
+    """The grouped panel sweep (one scan per Schur column tile) must be
+    bit-identical to the ungrouped XLA engine — P, Q, rank and layout."""
+    from m4ri_tpu.models.ple import block_factor
+    a = random_dense(rng, 320, 8192)  # w_pad = 256 words = 2 column tiles
+    a[100:200] = 0
+    A = m4.from_numpy(a)
+    want = block_factor(A, preserve_l=True, engine="xla")
+    got = block_factor(A, preserve_l=True, engine="pallas_interpret")
+    for g, w, what in zip(got, want, ["data", "P", "Q", "rank"]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      err_msg=what)
+
+
 def test_pallas_mul_odd_word_count_interpret(rng):
     # kw = ceil(150/32) = 5: not 8-sublane aligned — the word axis must be
     # padded before the (tkw, tm) DMA chunks (Mosaic rejects unaligned
