@@ -246,33 +246,48 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
         # fused Pallas version was tried and lost 5-10x to per-tile
         # overheads, see RESULTS.md)
         wmat = (u_clean ^ E) if preserve_l else u_clean
-        below = pos_all >= r_in + W
-        Xu = unpack_bits(Xw, jnp.int8)
-        xpiv = _dot2(Xu, E.T)
-        lam = _dot2(xpiv, T) \
-            * (live[None, :] & below[:, None]).astype(jnp.int8)
-        vbits = Xu ^ _dot2(lam, wmat)
-        selc = below[:, None]
-        vw_full = jnp.where(selc, pack_bits(vbits), Xw)
-        lamw_full = jnp.where(selc, pack_bits(lam), jnp.uint32(0))
-        # ---- exact miss check: a declared-non-pivot column where some
-        # below-window row still has a 1 means the canonical pivot was
-        # outside the window -> rerun this panel with a full-height window.
         pivcol = jnp.zeros((nb,), jnp.bool_).at[
             jnp.where(live, cloc, nb)].set(True, mode="drop")
         validcol = (t * nb + slotv) < n
-        if search_window:
-            # restricted search never pivots outside the window by
-            # construction (r + search_window <= r_in + W), so a bare
-            # below-window 1 is legitimate
-            miss = jnp.bool_(False)
+        # search_window: restricted search never pivots outside the window
+        # by construction (r + search_window <= r_in + W), so a bare
+        # below-window 1 is legitimate and the miss check is disabled.
+        use_post = (engine in ("pallas", "pallas_interpret")
+                    and get_config().use_pallas_panel_post)
+        if use_post:
+            # fused row-tiled pass: lam / v / miss in one kernel, packed
+            # words in and out (ops/pallas_post.py)
+            from ..ops.pallas_post import panel_post
+            cmb = (jnp.zeros((nb,), jnp.int8) if search_window
+                   else (~pivcol & validcol).astype(jnp.int8))
+            m_small = _dot2(E.T, T)
+            vw_full, lamw_full, miss = panel_post(
+                Xw, m_small, wmat, cmb, r_in + W, jnp.int32(m),
+                interpret=(engine == "pallas_interpret"))
+            if search_window:
+                miss = jnp.bool_(False)
         else:
-            colmask = pack_bits(
-                (~pivcol & validcol)[None, :].astype(jnp.uint8))[0]
-            rowmask = (pos_all >= r_in + W) & (pos_all < m)
-            miss = jnp.any(jnp.where(
-                rowmask[:, None], vw_full & colmask[None, :],
-                jnp.uint32(0)) != 0)
+            below = pos_all >= r_in + W
+            Xu = unpack_bits(Xw, jnp.int8)
+            xpiv = _dot2(Xu, E.T)
+            lam = _dot2(xpiv, T) \
+                * (live[None, :] & below[:, None]).astype(jnp.int8)
+            vbits = Xu ^ _dot2(lam, wmat)
+            selc = below[:, None]
+            vw_full = jnp.where(selc, pack_bits(vbits), Xw)
+            lamw_full = jnp.where(selc, pack_bits(lam), jnp.uint32(0))
+            # ---- exact miss check: a declared-non-pivot column where
+            # some below-window row still has a 1 means the canonical
+            # pivot was outside the window -> rerun full-height.
+            if search_window:
+                miss = jnp.bool_(False)
+            else:
+                colmask = pack_bits(
+                    (~pivcol & validcol)[None, :].astype(jnp.uint8))[0]
+                rowmask = (pos_all >= r_in + W) & (pos_all < m)
+                miss = jnp.any(jnp.where(
+                    rowmask[:, None], vw_full & colmask[None, :],
+                    jnp.uint32(0)) != 0)
 
         panel_fast = lax.dynamic_update_slice(vw_full, ALw[:, :nbw],
                                               (r_in, 0))

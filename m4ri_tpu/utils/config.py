@@ -77,6 +77,11 @@ class Config:
     # (ops/pallas_schur.py col_tile_skip).  Costs one scan body per group
     # at compile time; disable if a remote-compile environment chokes.
     schur_col_skip: bool = True
+    # Fuse the below-window panel elimination (lam / v / miss chain) into
+    # one row-tiled Mosaic pass (ops/pallas_post.py) instead of the XLA
+    # unpack-dot-pack chain, whose m x nb intermediates get layout-copied
+    # inside the factorization scan.
+    use_pallas_panel_post: bool = True
     # Provenance of the derived values ("tpu:<kind>", "cpu", "default").
     derived_from: str = "default"
 

@@ -153,6 +153,34 @@ def test_block_factor_grouped_col_skip_interpret(rng):
                                       err_msg=what)
 
 
+def test_panel_post_interpret(rng):
+    """The fused below-window pass must equal the unfused composition
+    lam = X (E^T T), v = X ^ lam wmat, miss = any(v & colmask) on the
+    below-window rows, with passthrough elsewhere."""
+    from m4ri_tpu.ops.pallas_post import panel_post
+    nb, m = 64, 512
+    x = random_dense(rng, m, nb)
+    msm = (rng.random((nb, nb)) < 0.5).astype(np.int8)
+    wm = (rng.random((nb, nb)) < 0.5).astype(np.int8)
+    cmb = (rng.random(nb) < 0.2).astype(np.int8)
+    below0, mvalid = 192, 500
+    X = m4.from_numpy(x)
+    vw, lamw, miss = panel_post(X.data, jnp.asarray(msm), jnp.asarray(wm),
+                                jnp.asarray(cmb), below0, mvalid,
+                                interpret=True)
+    lam_ref = (x.astype(np.int64) @ msm.astype(np.int64)) % 2
+    rows = (np.arange(m) >= below0) & (np.arange(m) < mvalid)
+    lam_ref[~rows] = 0
+    v_ref = x ^ (lam_ref @ wm.astype(np.int64)) % 2
+    v_ref[~rows] = x[~rows]
+    np.testing.assert_array_equal(
+        m4.to_numpy(m4.BitMatrix(vw, nb)), v_ref)
+    np.testing.assert_array_equal(
+        m4.to_numpy(m4.BitMatrix(lamw, nb)), lam_ref)
+    want_miss = bool(((v_ref * cmb[None, :])[rows]).any())
+    assert bool(miss) == want_miss
+
+
 def test_pallas_mul_odd_word_count_interpret(rng):
     # kw = ceil(150/32) = 5: not 8-sublane aligned — the word axis must be
     # padded before the (tkw, tm) DMA chunks (Mosaic rejects unaligned
@@ -179,6 +207,21 @@ def test_pallas_mul_odd_word_count_tpu(rng):
 def test_pallas_schur_update_odd_word_count_tpu(rng):
     _schur_case(rng, 512, 150, 4096, 64, 1024, tm=256, tnw=128,
                 interpret=False)
+
+
+@tpu_only
+def test_block_factor_grouped_col_skip_tpu(rng):
+    """The grouped (col_tile_skip) sweep on real hardware must match the
+    XLA engine bit for bit — n=8192 gives two Schur column tiles."""
+    from m4ri_tpu.models.ple import block_factor
+    a = random_dense(rng, 320, 8192)
+    a[64:128] = 0
+    A = m4.from_numpy(a)
+    want = block_factor(A, preserve_l=True, engine="xla")
+    got = block_factor(A, preserve_l=True, engine="pallas")
+    for g, w, what in zip(got, want, ["data", "P", "Q", "rank"]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      err_msg=what)
 
 
 @tpu_only
