@@ -330,11 +330,19 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
             lax.dynamic_slice(Lpw, (r_in, 0), (nb, nbw)), jnp.int8)
         s = _unit_upper_inv(l11, eye_nb, steps)
         a_block = lax.dynamic_slice(A, (r_in, 0), (nb, w_pad))
-        au = unpack_bits(a_block, jnp.int8)
-        u = (lax.dot_general(s, au, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.int32) & 1)
-        u = u * (jrow < rank_panel)[:, None]
-        up = pack_bits(u)
+        if engine in ("pallas", "pallas_interpret"):
+            # packed-in/packed-out product: the XLA path materializes
+            # (and layout-copies) an nb x n u32 unpack per panel
+            from ..ops.pallas_mul import gf2_mul_pallas
+            u_pk = gf2_mul_pallas(pack_bits(s), a_block,
+                                  interpret=(engine == "pallas_interpret"))
+            up = u_pk * (jrow < rank_panel)[:, None].astype(jnp.uint32)
+        else:
+            au = unpack_bits(a_block, jnp.int8)
+            u = (lax.dot_general(s, au, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32) & 1)
+            u = u * (jrow < rank_panel)[:, None]
+            up = pack_bits(u)
         # only trailing columns take the Schur update
         up = up * (widx >= (t + 1) * nbw)[None, :].astype(jnp.uint32)
 
