@@ -207,7 +207,7 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
         return run_panel_loop(panel_words, r, base, t, r_in, m, nb,
                               preserve_l, search_window, engine)
 
-    def panel(carry, t, j0: int = 0):
+    def panel(carry, t):
         A, P, Q, r = carry
         r_in = r
         c0w = t * nbw
@@ -349,36 +349,41 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
         # --- Schur update: A ^= Lp @ U (MXU product) ---
         if engine in ("pallas", "pallas_interpret"):
             # fused kernel: skips tiles above the rank / left of the
-            # trailing edge and XORs in place (ops/pallas_schur.py)
+            # trailing edge and XORs in place (ops/pallas_schur.py).
+            # Column tiles statically left of panel t's trailing edge
+            # are never even streamed: lax.switch picks the kernel
+            # instance compiled with that col_tile_skip — one scan body,
+            # w_pad/128 small custom-call variants (compiling one body
+            # per group instead blew up the remote-compile bill).
             from ..ops.pallas_schur import gf2_schur_update
-            A = gf2_schur_update(A, Lpw, up, r_in, (t + 1) * nbw,
-                                 col_tile_skip=j0,
-                                 interpret=(engine == "pallas_interpret"))
+            interp = engine == "pallas_interpret"
+            tnw_s = 128  # gf2_schur_update's tile for 128-multiple widths
+            ngr = w_pad // tnw_s
+            cskip = (get_config().schur_col_skip and w_pad % tnw_s == 0
+                     and ngr > 1 and (tnw_s * WORD_BITS) % nb == 0)
+            if cskip:
+                ppt = tnw_s * WORD_BITS // nb  # panels per column tile
+
+                def mk(g):
+                    def f(ops):
+                        A_, lp_, up_, r0_, t_ = ops
+                        return gf2_schur_update(
+                            A_, lp_, up_, r0_, (t_ + 1) * nbw,
+                            col_tile_skip=g, interpret=interp)
+                    return f
+
+                A = lax.switch(jnp.minimum(t // ppt, ngr - 1),
+                               [mk(g) for g in range(ngr)],
+                               (A, Lpw, up, r_in, t))
+            else:
+                A = gf2_schur_update(A, Lpw, up, r_in, (t + 1) * nbw,
+                                     interpret=interp)
         else:
             A = A ^ mul_packed_data(Lpw, up)
         return (A, P, Q, r), None
 
-    carry = (A, P, Q, jnp.int32(0))
-    # Group the sweep by Schur-kernel column tiles: within group g every
-    # panel's trailing edge is right of tile g, so the kernel can statically
-    # skip streaming the first g tiles (col_tile_skip).  One scan body per
-    # group; the packed analogue of the reference recursing on the trailing
-    # quadrant (ple.c:122-127).
-    tnw_s = 128  # gf2_schur_update's tile for 128-multiple word counts
-    grouped = (engine in ("pallas", "pallas_interpret")
-               and get_config().schur_col_skip
-               and w_pad % tnw_s == 0 and w_pad // tnw_s > 1
-               and (tnw_s * WORD_BITS) % nb == 0)
-    if grouped:
-        ppt = tnw_s * WORD_BITS // nb  # panels per column tile
-        for g0 in range(0, n_panels, ppt):
-            ts = jnp.arange(g0, min(g0 + ppt, n_panels), dtype=jnp.int32)
-            carry, _ = lax.scan(
-                functools.partial(panel, j0=g0 // ppt), carry, ts)
-    else:
-        carry, _ = lax.scan(panel, carry,
-                            jnp.arange(n_panels, dtype=jnp.int32))
-    A, P, Q, r = carry
+    (A, P, Q, r), _ = lax.scan(
+        panel, (A, P, Q, jnp.int32(0)), jnp.arange(n_panels, dtype=jnp.int32))
     return A[:m, : data.shape[1]], P[:m], Q[:n], r
 
 

@@ -181,6 +181,22 @@ def test_panel_post_interpret(rng):
     assert bool(miss) == want_miss
 
 
+def test_block_factor_search_window_interpret(rng):
+    """Restricted pivot search (top-echelonize semantics) through the
+    pallas engines must match the XLA engine bit for bit."""
+    from m4ri_tpu.models.ple import block_factor
+    a = random_dense(rng, 400, 256)
+    a[50:150] = 0
+    A = m4.from_numpy(a)
+    want = block_factor(A, preserve_l=False, nb=128, window=256,
+                        search_window=128, engine="xla")
+    got = block_factor(A, preserve_l=False, nb=128, window=256,
+                       search_window=128, engine="pallas_interpret")
+    for g, w, what in zip(got, want, ["data", "P", "Q", "rank"]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      err_msg=what)
+
+
 def test_pallas_mul_odd_word_count_interpret(rng):
     # kw = ceil(150/32) = 5: not 8-sublane aligned — the word axis must be
     # padded before the (tkw, tm) DMA chunks (Mosaic rejects unaligned
