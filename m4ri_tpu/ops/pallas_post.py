@@ -116,6 +116,10 @@ def _post_padded(scal, xw, mp, wp, cm, tm: int, interpret: bool = False):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * m * nb * nb,          # two nb-deep MXU products
+            bytes_accessed=3 * m * nbw * 4 + 2 * nb * nb,
+            transcendentals=0),
         interpret=interpret,
     )(scal, xw, mp, wp, cm)
 
