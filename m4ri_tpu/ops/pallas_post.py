@@ -77,8 +77,9 @@ def _make_kernel(tm: int, nbw: int):
 
         vw_ref[:] = jnp.where(below, _pack_planes(v32, nbw), xw)
         lam_ref[:] = _pack_planes(lam32, nbw)
-        hit = jnp.max(v32 * cm_ref[0:1, :] * below.astype(jnp.int32))
-        miss_ref[0, 0] = jnp.maximum(miss_ref[0, 0], hit)
+        hit = jnp.max(v32 * cm_ref[0:1, :].astype(jnp.int32)
+                      * below.astype(jnp.int32))
+        miss_ref[:] = jnp.maximum(miss_ref[:], hit)
 
     return _kernel
 
