@@ -176,10 +176,12 @@ def run_panel_loop(panel_words, r, base, t, r_in, m: int, nb: int,
 
 @functools.partial(jax.jit, static_argnames=("m", "n", "nb", "preserve_l",
                                              "search_window", "window",
-                                             "engine"))
+                                             "engine", "use_post",
+                                             "col_skip"))
 def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
                        search_window: int = 0, window: int = 0,
-                       engine: str = "xla"):
+                       engine: str = "xla", use_post: bool = True,
+                       col_skip: bool = True):
     nbw = nb // WORD_BITS
     W = window
     assert W >= nb + search_window, (W, nb, search_window)
@@ -252,9 +254,8 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
         # search_window: restricted search never pivots outside the window
         # by construction (r + search_window <= r_in + W), so a bare
         # below-window 1 is legitimate and the miss check is disabled.
-        use_post = (engine in ("pallas", "pallas_interpret")
-                    and get_config().use_pallas_panel_post)
-        if use_post:
+        fused_post = engine in ("pallas", "pallas_interpret") and use_post
+        if fused_post:
             # fused row-tiled pass: lam / v / miss in one kernel, packed
             # words in and out (ops/pallas_post.py)
             from ..ops.pallas_post import panel_post
@@ -264,8 +265,6 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
             vw_full, lamw_full, miss = panel_post(
                 Xw, m_small, wmat, cmb, r_in + W, jnp.int32(m),
                 interpret=(engine == "pallas_interpret"))
-            if search_window:
-                miss = jnp.bool_(False)
         else:
             below = pos_all >= r_in + W
             Xu = unpack_bits(Xw, jnp.int8)
@@ -279,15 +278,14 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
             # ---- exact miss check: a declared-non-pivot column where
             # some below-window row still has a 1 means the canonical
             # pivot was outside the window -> rerun full-height.
-            if search_window:
-                miss = jnp.bool_(False)
-            else:
-                colmask = pack_bits(
-                    (~pivcol & validcol)[None, :].astype(jnp.uint8))[0]
-                rowmask = (pos_all >= r_in + W) & (pos_all < m)
-                miss = jnp.any(jnp.where(
-                    rowmask[:, None], vw_full & colmask[None, :],
-                    jnp.uint32(0)) != 0)
+            colmask = pack_bits(
+                (~pivcol & validcol)[None, :].astype(jnp.uint8))[0]
+            rowmask = (pos_all >= r_in + W) & (pos_all < m)
+            miss = jnp.any(jnp.where(
+                rowmask[:, None], vw_full & colmask[None, :],
+                jnp.uint32(0)) != 0)
+        if search_window:
+            miss = jnp.bool_(False)
 
         panel_fast = lax.dynamic_update_slice(vw_full, ALw[:, :nbw],
                                               (r_in, 0))
@@ -359,17 +357,21 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
             interp = engine == "pallas_interpret"
             tnw_s = 128  # gf2_schur_update's tile for 128-multiple widths
             ngr = w_pad // tnw_s
-            cskip = (get_config().schur_col_skip and w_pad % tnw_s == 0
-                     and ngr > 1 and (tnw_s * WORD_BITS) % nb == 0)
+            cskip = (col_skip and w_pad % tnw_s == 0
+                     and ngr > 1 and (tnw_s * WORD_BITS) % nb == 0
+                     and m_pad % 256 == 0)
             if cskip:
                 ppt = tnw_s * WORD_BITS // nb  # panels per column tile
 
                 def mk(g):
                     def f(ops):
                         A_, lp_, up_, r0_, t_ = ops
+                        # tm/tnw pinned: the skip guarantee g*tnw <= c0w
+                        # must not depend on the callee's tile defaults
                         return gf2_schur_update(
                             A_, lp_, up_, r0_, (t_ + 1) * nbw,
-                            col_tile_skip=g, interpret=interp)
+                            tm=256, tnw=tnw_s, col_tile_skip=g,
+                            interpret=interp)
                     return f
 
                 A = lax.switch(jnp.minimum(t // ppt, ngr - 1),
@@ -414,7 +416,7 @@ def block_factor(a: BitMatrix, preserve_l: bool, nb: int | None = None,
                               and jax.default_backend() == "tpu") else "xla"
     data, p, q, r = _block_factor_impl(
         a.data, a.nrows, a.ncols, nb, preserve_l, search_window, window,
-        engine)
+        engine, cfg.use_pallas_panel_post, cfg.schur_col_skip)
     return data, p, q, r
 
 

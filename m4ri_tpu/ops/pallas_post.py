@@ -63,23 +63,31 @@ def _make_kernel(tm: int, nbw: int):
             miss_ref[:] = jnp.zeros((1, 1), jnp.int32)
 
         xw = xw_ref[:]                                  # (tm, nbw) uint32
-        xu = _unpack_planes_ax1(xw)                     # (tm, nb) int8
-        gpos = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
-        below = (gpos >= below0) & (gpos < mvalid)      # (tm, 1)
+        # default: passthrough (also covers tiles fully outside the
+        # below-window range, which would otherwise burn two MXU products
+        # per tile just to discard them — cf. the pallas_schur guards)
+        vw_ref[:] = xw
+        lam_ref[:] = jnp.zeros_like(xw)
 
-        lam32 = (jax.lax.dot_general(
-            xu, mp_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32) & 1)      # (tm, nb)
-        lam32 = lam32 * below.astype(jnp.int32)
-        v32 = xu.astype(jnp.int32) ^ (jax.lax.dot_general(
-            lam32.astype(jnp.int8), wp_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32) & 1)      # (tm, nb)
+        @pl.when((i * tm + tm > below0) & (i * tm < mvalid))
+        def _():
+            xu = _unpack_planes_ax1(xw)                 # (tm, nb) int8
+            gpos = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+            below = (gpos >= below0) & (gpos < mvalid)  # (tm, 1)
 
-        vw_ref[:] = jnp.where(below, _pack_planes(v32, nbw), xw)
-        lam_ref[:] = _pack_planes(lam32, nbw)
-        hit = jnp.max(v32 * cm_ref[0:1, :].astype(jnp.int32)
-                      * below.astype(jnp.int32))
-        miss_ref[:] = jnp.maximum(miss_ref[:], hit)
+            lam32 = (jax.lax.dot_general(
+                xu, mp_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32) & 1)  # (tm, nb)
+            lam32 = lam32 * below.astype(jnp.int32)
+            v32 = xu.astype(jnp.int32) ^ (jax.lax.dot_general(
+                lam32.astype(jnp.int8), wp_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32) & 1)  # (tm, nb)
+
+            vw_ref[:] = jnp.where(below, _pack_planes(v32, nbw), xw)
+            lam_ref[:] = _pack_planes(lam32, nbw)
+            hit = jnp.max(v32 * cm_ref[0:1, :].astype(jnp.int32)
+                          * below.astype(jnp.int32))
+            miss_ref[:] = jnp.maximum(miss_ref[:], hit)
 
     return _kernel
 
