@@ -33,7 +33,8 @@ from .dist_ple import dist_block_factor
 
 __all__ = ["dist_trtri_upper", "dist_trtri_lower", "dist_trsm_upper_left",
            "dist_trsm_lower_left", "dist_trsm_upper_right",
-           "dist_trsm_lower_right", "dist_solve_left"]
+           "dist_trsm_lower_right", "dist_solve_left", "dist_invert",
+           "dist_kernel_left"]
 
 
 def _mesh_mul(mesh):
@@ -105,3 +106,30 @@ def dist_solve_left(a: BitMatrix, b: BitMatrix, mesh, nb: int = 128,
     x = jnp.zeros((n, width_for(b.ncols)), jnp.uint32)
     x = x.at[idx].set(zmask, mode="drop")
     return mask_padding(BitMatrix(x, b.ncols)), consistent
+
+
+def dist_invert(a: BitMatrix, mesh, nb: int = 128, window: int | None = None):
+    """A^{-1} over the mesh via RREF of [A | I] (reference: mzd_inv_m4ri).
+    Returns (inverse, rank); valid iff rank == n.  Bit-identical to
+    models/echelon.invert — the mesh factorization is canonical and the
+    RREF post-pass is the same replicated program."""
+    from ..models.echelon import _augment, _invert_post
+    n = a.ncols
+    assert a.nrows == n, "inversion requires a square matrix"
+    aug = _augment(a, n)
+    data, _, q, r = dist_block_factor(aug, mesh, preserve_l=False, nb=nb,
+                                      window=window)
+    return _invert_post(data, q, r, n)
+
+
+def dist_kernel_left(a: BitMatrix, mesh, nb: int = 128,
+                     window: int | None = None):
+    """Right-kernel basis over the mesh (reference: mzd_kernel_left_pluq).
+    Returns (X, count) with the same convention as models/solve.kernel_left
+    (bit-identical: canonical factorization + the same post-pass)."""
+    from ..models.echelon import _rref_from_ref
+    from ..models.solve import _kernel_post
+    data, _, q, r = dist_block_factor(a, mesh, preserve_l=False, nb=nb,
+                                      window=window)
+    out = _rref_from_ref(data, q, r, a.nrows, a.ncols)
+    return _kernel_post(out, q, r, a.nrows, a.ncols)

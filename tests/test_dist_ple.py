@@ -129,3 +129,40 @@ def test_dist_solve_inconsistent(rng):
                             mesh, nb=32)
     _, ok_loc = solve_left(m4.from_numpy(a_np), m4.from_numpy(b_np), nb=32)
     assert bool(ok) == bool(ok_loc) == False  # noqa: E712
+
+
+def test_dist_invert(rng):
+    from m4ri_tpu.parallel.dist_solve import dist_invert
+    from m4ri_tpu.models.echelon import invert
+    mesh = mesh2d()
+    # invertible: unit-lower times unit-upper
+    n = 96
+    l = np.tril(random_dense(rng, n, n), -1); np.fill_diagonal(l, 1)
+    u = np.triu(random_dense(rng, n, n), 1); np.fill_diagonal(u, 1)
+    a_np = oracle.mul(l, u).astype(np.uint8)
+    A = m4.from_numpy(a_np)
+    xd, rd = dist_invert(A, mesh, nb=32, window=64)
+    xl, rl = invert(A, nb=32)
+    assert int(rd) == int(rl) == n
+    np.testing.assert_array_equal(m4.to_numpy(xd), m4.to_numpy(xl))
+    np.testing.assert_array_equal(
+        oracle.mul(a_np, m4.to_numpy(xd)), np.eye(n, dtype=np.uint8))
+    # singular input reports rank < n
+    s_np = oracle.mul(random_dense(rng, n, 10),
+                      random_dense(rng, 10, n)).astype(np.uint8)
+    _, rs = dist_invert(m4.from_numpy(s_np), mesh, nb=32, window=64)
+    assert int(rs) < n
+
+
+def test_dist_kernel_left(rng):
+    from m4ri_tpu.parallel.dist_solve import dist_kernel_left
+    from m4ri_tpu.models.solve import kernel_left
+    mesh = mesh1d()
+    a_np = oracle.mul(random_dense(rng, 120, 40),
+                      random_dense(rng, 40, 150)).astype(np.uint8)
+    A = m4.from_numpy(a_np)
+    xd, cd = dist_kernel_left(A, mesh, nb=32, window=64)
+    xl, cl = kernel_left(A, nb=32)
+    assert int(cd) == int(cl)
+    np.testing.assert_array_equal(m4.to_numpy(xd), m4.to_numpy(xl))
+    assert not oracle.mul(a_np, m4.to_numpy(xd)).any()
