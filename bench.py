@@ -88,8 +88,39 @@ def bench_mul(n: int = 4096, samples: int = 5):
     return float(np.median(slopes))
 
 
+def _preflight(timeout_s: float = 120.0) -> bool:
+    """The device tunnel can die (relay process loss); a dead endpoint
+    makes the first jit hang forever rather than error.  Probe it on a
+    daemon thread so the driver gets one honest JSON line either way."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+        x = jnp.ones((8, 128), jnp.int32)
+        jax.device_get(jax.jit(lambda a: a + 1)(x))
+        ok.append(True)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    if not _preflight():
+        print(json.dumps({
+            "metric": f"gf2_mul_{n} effective bit-op/s",
+            "value": 0.0,
+            "unit": "Tbit-op/s",
+            "vs_baseline": 0.0,
+            "error": "device unreachable (tunnel dead): preflight jit "
+                     "timed out",
+        }))
+        sys.exit(1)
     wall = bench_mul(n)
     bitops = 2.0 * n**3 / wall
     ref_bitops = 2.0 * 4096**3 / REFERENCE_WALL_S
