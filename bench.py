@@ -94,31 +94,36 @@ def _preflight(timeout_s: float = 120.0) -> bool:
     daemon thread so the driver gets one honest JSON line either way."""
     import threading
 
-    ok = []
+    out = {}
 
     def probe():
-        import jax
-        import jax.numpy as jnp
-        x = jnp.ones((8, 128), jnp.int32)
-        jax.device_get(jax.jit(lambda a: a + 1)(x))
-        ok.append(True)
+        try:
+            import jax
+            import jax.numpy as jnp
+            x = jnp.ones((8, 128), jnp.int32)
+            jax.device_get(jax.jit(lambda a: a + 1)(x))
+            out["ok"] = True
+        except Exception as e:  # surfaced in the JSON error line
+            out["err"] = f"{type(e).__name__}: {e}"
 
     th = threading.Thread(target=probe, daemon=True)
     th.start()
     th.join(timeout_s)
-    return bool(ok)
+    if out.get("ok"):
+        return None
+    return out.get("err", f"preflight jit timed out after {timeout_s:.0f}s")
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    if not _preflight():
+    err = _preflight()
+    if err is not None:
         print(json.dumps({
             "metric": f"gf2_mul_{n} effective bit-op/s",
             "value": 0.0,
             "unit": "Tbit-op/s",
             "vs_baseline": 0.0,
-            "error": "device unreachable (tunnel dead): preflight jit "
-                     "timed out",
+            "error": f"device unreachable: {err}",
         }))
         sys.exit(1)
     wall = bench_mul(n)

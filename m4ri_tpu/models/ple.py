@@ -243,10 +243,10 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
         # multipliers for every row below the window: lambda = X_piv @ T;
         # eliminated panel values v = X ^ lambda @ wmat (preserve_l
         # re-places lambda at the pivot columns, the reference's in-place
-        # L layout)
-        # (measured: XLA fuses this chain to ~0.08 ms/panel at 32768 — a
-        # fused Pallas version was tried and lost 5-10x to per-tile
-        # overheads, see RESULTS.md)
+        # L layout).  On the pallas engines the whole chain runs as ONE
+        # row-tiled kernel (ops/pallas_post.py) — fusing it as separate
+        # narrow kernels was a recorded negative result (RESULTS.md), the
+        # single-pass version is not.
         wmat = (u_clean ^ E) if preserve_l else u_clean
         pivcol = jnp.zeros((nb,), jnp.bool_).at[
             jnp.where(live, cloc, nb)].set(True, mode="drop")
