@@ -88,30 +88,41 @@ def bench_mul(n: int = 4096, samples: int = 5):
     return float(np.median(slopes))
 
 
-def _preflight(timeout_s: float = 120.0) -> bool:
+def _preflight(timeout_s: float = 120.0, attempts: int = 3,
+               backoff_s: float = 45.0) -> str | None:
     """The device tunnel can die (relay process loss); a dead endpoint
-    makes the first jit hang forever rather than error.  Probe it on a
-    daemon thread so the driver gets one honest JSON line either way."""
-    import threading
+    makes the first jit hang forever rather than error.  Probe it in a
+    fresh subprocess (a wedged in-process backend cannot be retried) with
+    bounded retry/backoff so a transiently flaky tunnel still yields a
+    real benchmark run, and a dead one yields one honest JSON error line.
 
-    out = {}
+    Returns None on success, else the last error string.
+    """
+    import subprocess
 
-    def probe():
+    probe_src = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((8, 128), jnp.int32)\n"
+        "jax.device_get(jax.jit(lambda a: a + 1)(x))\n"
+        "print('PREFLIGHT_OK')\n"
+    )
+    err = "preflight never ran"
+    for attempt in range(attempts):
+        if attempt:
+            print(f"# preflight retry {attempt + 1}/{attempts} after "
+                  f"{backoff_s:.0f}s backoff", file=sys.stderr)
+            time.sleep(backoff_s)
         try:
-            import jax
-            import jax.numpy as jnp
-            x = jnp.ones((8, 128), jnp.int32)
-            jax.device_get(jax.jit(lambda a: a + 1)(x))
-            out["ok"] = True
-        except Exception as e:  # surfaced in the JSON error line
-            out["err"] = f"{type(e).__name__}: {e}"
-
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(timeout_s)
-    if out.get("ok"):
-        return None
-    return out.get("err", f"preflight jit timed out after {timeout_s:.0f}s")
+            r = subprocess.run([sys.executable, "-c", probe_src],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            if "PREFLIGHT_OK" in r.stdout:
+                return None
+            tail = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
+            err = f"preflight exited rc={r.returncode}: {tail[0][:200]}"
+        except subprocess.TimeoutExpired:
+            err = f"preflight jit timed out after {timeout_s:.0f}s"
+    return err
 
 
 def main():

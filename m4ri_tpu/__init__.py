@@ -70,4 +70,5 @@ def __getattr__(name):
     fn = getattr(_m, name)
     if name in _DD_NAMES:
         fn = _dd_instrument(_DD_NAMES[name], fn)
+    globals()[name] = fn  # cache: later accesses bypass __getattr__
     return fn

@@ -9,6 +9,8 @@ auto-tunes (the reference recommends passing 0 for auto anyway).
 
 from __future__ import annotations
 
+import itertools
+
 import jax
 
 from . import (add, addmul, col_swap, concat, density, echelonize,
@@ -87,7 +89,7 @@ def m4ri_random_word() -> int:
     return _GLOBAL_RNG["rng"].random_word()
 
 
-_RANDOMIZE_CALLS = [0]
+_RANDOMIZE_CALLS = itertools.count(1)  # atomic under the GIL
 
 
 def mzd_randomize(a: BitMatrix) -> BitMatrix:
@@ -97,8 +99,7 @@ def mzd_randomize(a: BitMatrix) -> BitMatrix:
     instead of repeating PRNGKey(0)."""
     if _GLOBAL_RNG["rng"] is not None:
         return randomize_reference(a.nrows, a.ncols, rng=_GLOBAL_RNG["rng"])
-    _RANDOMIZE_CALLS[0] += 1
-    return randomize(a.nrows, a.ncols, jax.random.PRNGKey(_RANDOMIZE_CALLS[0]))
+    return randomize(a.nrows, a.ncols, jax.random.PRNGKey(next(_RANDOMIZE_CALLS)))
 
 
 def mzd_randomize_custom(a, rc, data=None):

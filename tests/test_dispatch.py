@@ -55,7 +55,7 @@ def test_dispatch_pallas_shallow_k(rng, monkeypatch):
 
 def test_dispatch_pallas_big_deep(rng, monkeypatch):
     """Deep contraction above mul_block_threshold routes to the kernel."""
-    cfg = Config(mul_block_threshold=1024)
+    cfg = Config(mul_block_threshold=1024, pallas_big_min=1024)
     a = random_dense(rng, 2048, 1056)
     b = random_dense(rng, 1056, 4096)
     _check(a, b, cfg, True, monkeypatch)
