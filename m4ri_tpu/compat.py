@@ -111,11 +111,49 @@ def mzd_randomize_custom(a, rc, data=None):
 
 mzd_read_bit = read_bit
 mzd_write_bit = write_bit
-mzd_read_bits = bitops.read_bits
-mzd_read_bits_int = bitops.read_bits
-mzd_xor_bits = bitops.xor_bits
-mzd_and_bits = bitops.and_bits
-mzd_clear_bits = bitops.clear_bits
+# Field access up to 64 bits (reference semantics: m4ri_radix = 64,
+# mzd.h:892-901).  The packed word here is 32-bit, so a 33..64-bit field
+# is composed of two radix-32 sub-fields; each sub-call handles its own
+# 2-word straddle, so an unaligned 64-bit field correctly spans 3 words.
+# For n_bits > 32 the value is a host int (Python ints are arbitrary
+# precision; jnp.uint64 needs x64 mode) — these wrappers are the eager
+# reference-API surface, not a jit path.
+
+def mzd_read_bits(m, i, j, n_bits: int):
+    if n_bits <= 32:
+        return bitops.read_bits(m, i, j, n_bits)
+    assert n_bits <= 64, "mzd_read_bits: n_bits must be <= 64"
+    lo = int(bitops.read_bits(m, i, j, 32))
+    hi = int(bitops.read_bits(m, i, j + 32, n_bits - 32))
+    return lo | (hi << 32)
+
+
+mzd_read_bits_int = mzd_read_bits
+
+
+def _split64(m, i, j, n_bits, values, op32):
+    if n_bits <= 32:
+        return op32(m, i, j, n_bits, values)
+    assert n_bits <= 64, "bit-field ops support n_bits <= 64"
+    v = int(values)
+    m = op32(m, i, j, 32, v & 0xFFFFFFFF)
+    return op32(m, i, j + 32, n_bits - 32, (v >> 32) & 0xFFFFFFFF)
+
+
+def mzd_xor_bits(m, i, j, n_bits: int, values):
+    return _split64(m, i, j, n_bits, values, bitops.xor_bits)
+
+
+def mzd_and_bits(m, i, j, n_bits: int, values):
+    return _split64(m, i, j, n_bits, values, bitops.and_bits)
+
+
+def mzd_clear_bits(m, i, j, n_bits: int):
+    if n_bits <= 32:
+        return bitops.clear_bits(m, i, j, n_bits)
+    assert n_bits <= 64, "mzd_clear_bits: n_bits must be <= 64"
+    m = bitops.clear_bits(m, i, j, 32)
+    return bitops.clear_bits(m, i, j + 32, n_bits - 32)
 mzd_row_swap = row_swap
 mzd_col_swap = col_swap
 mzd_row_add = bitops.row_add

@@ -197,3 +197,48 @@ def test_compat_misc_long_tail():
     w = m4ri.mzp_init_window(p, 2, 5)
     assert list(np.asarray(w)) == [2, 3, 4]
     assert m4ri.mzp_free(p) is None
+
+
+def test_compat_bit_fields_64(rng):
+    """33..64-bit field ops match reference radix-64 semantics
+    (mzd.h:892-901): read/xor/and/clear across word-pair boundaries,
+    including an unaligned 64-bit field spanning three 32-bit words."""
+    a = random_dense(rng, 4, 160)
+    A = m4.from_numpy(a)
+
+    def field_of(bits, i, j, n):
+        v = 0
+        for t in range(n):
+            v |= int(bits[i, j + t]) << t
+        return v
+
+    for (i, j, n) in [(0, 0, 64), (1, 17, 64), (2, 31, 33),
+                      (3, 95, 48), (0, 32, 40), (1, 63, 64)]:
+        got = m4ri.mzd_read_bits(A, i, j, n)
+        assert int(got) == field_of(a, i, j, n), (i, j, n)
+
+    # xor a 64-bit value at an unaligned offset; verify bitwise
+    v = 0xDEADBEEFCAFEF00D
+    B = m4ri.mzd_xor_bits(A, 1, 17, 64, v)
+    expect = a.copy()
+    for t in range(64):
+        expect[1, 17 + t] ^= (v >> t) & 1
+    np.testing.assert_array_equal(m4.to_numpy(B), expect)
+
+    # and with a mask value
+    C = m4ri.mzd_and_bits(A, 2, 31, 40, v)
+    expect = a.copy()
+    for t in range(40):
+        expect[2, 31 + t] &= (v >> t) & 1
+    np.testing.assert_array_equal(m4.to_numpy(C), expect)
+
+    # clear an unaligned 64-bit field
+    D = m4ri.mzd_clear_bits(A, 3, 33, 64)
+    expect = a.copy()
+    expect[3, 33:97] = 0
+    np.testing.assert_array_equal(m4.to_numpy(D), expect)
+
+    # round-trip: read back what xor wrote into a zero matrix
+    Z = m4.from_numpy(np.zeros((2, 128), np.uint8))
+    Z = m4ri.mzd_xor_bits(Z, 0, 39, 64, v)
+    assert m4ri.mzd_read_bits(Z, 0, 39, 64) == v
