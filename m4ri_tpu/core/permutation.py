@@ -28,9 +28,9 @@ __all__ = [
 ]
 
 
-def swaps_to_perm(v: jnp.ndarray, ascending: bool = True) -> jnp.ndarray:
-    """Fold the swap sequence into a permutation ``perm`` such that
-    ``new[i] = old[perm[i]]``."""
+def swaps_to_perm_seq(v: jnp.ndarray, ascending: bool = True) -> jnp.ndarray:
+    """Sequential reference model of the swap fold (one fori step per
+    swap) — kept as the cross-validation oracle for swaps_to_perm."""
     n = v.shape[0]
 
     def body(k, perm):
@@ -40,6 +40,55 @@ def swaps_to_perm(v: jnp.ndarray, ascending: bool = True) -> jnp.ndarray:
         return perm.at[i].set(pj).at[j].set(pi)
 
     return jax.lax.fori_loop(0, n, body, jnp.arange(n, dtype=jnp.int32))
+
+
+def swaps_to_perm(v: jnp.ndarray, ascending: bool = True) -> jnp.ndarray:
+    """Fold the swap sequence into a permutation ``perm`` such that
+    ``new[i] = old[perm[i]]``.
+
+    Vectorized (no O(n)-step scalar loop): with the LAPACK contract
+    ``v[i] >= i``, step i is the LAST step that touches slot i (later
+    steps touch only slots >= i+1), so ``perm[i]`` equals the content of
+    slot v[i] just before step i.  That content is determined by two
+    dataflow relations — ``pred(i)`` = previous step with the same target
+    value, and ``tgt_pred(x)`` = last step before x that targeted slot x
+    — whose chains are chased to their terminals with pointer doubling
+    (O(log n) gathers), exactly the _compress_l_impl technique
+    (models/ple.py).  Reference semantics: mzp.c:65-81."""
+    import numpy as np
+
+    n = v.shape[0]
+    if n == 0:
+        return jnp.arange(0, dtype=jnp.int32)
+    v = v.astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    # pred[i] = previous occurrence of value v[i] (or -1): stable argsort
+    # groups equal values in index order, so the sorted left neighbour of
+    # an equal value is the previous occurrence.
+    order = jnp.argsort(v, stable=True)
+    sv = v[order]
+    prev_sorted = jnp.where((idx > 0) & (sv == jnp.roll(sv, 1)),
+                            jnp.roll(order, 1), jnp.int32(-1))
+    pred = jnp.zeros((n,), jnp.int32).at[order].set(prev_sorted)
+
+    # last[c] = last step targeting slot c (scatter-max; v[j] = c => j<=c)
+    last = jnp.full((n,), -1, jnp.int32).at[v].max(idx, mode="drop")
+
+    # tgt_pred(x) = last step < x with target x.  All targets of x are at
+    # steps <= x; step x itself targets x only when v[x] == x, in which
+    # case its previous occurrence is pred(x).
+    tp = jnp.where(v == idx, pred, last)
+    f = jnp.where(tp >= 0, tp, idx)  # terminal steps point to themselves
+    for _ in range(max(1, int(np.ceil(np.log2(max(n, 2)))))):
+        f = f[f]
+    # g[x] = f-terminal = original index occupying slot x before step x
+    perm = jnp.where(pred >= 0, f[jnp.clip(pred, 0)], v)
+    if not ascending:
+        # descending application composes the same transpositions in
+        # reverse order, i.e. the inverse permutation (mzp.c:74-81)
+        perm = invert_perm(perm)
+    return perm
 
 
 def invert_perm(perm: jnp.ndarray) -> jnp.ndarray:
@@ -79,10 +128,10 @@ def apply_p_right_trans(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
     return permute_cols(m, swaps_to_perm(v[: m.ncols], True))
 
 
-def apply_p_right_trans_tri(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
-    """For i ascending: swap columns (i, v[i]) in rows [0, i) only
-    (reference: mzd_apply_p_right_trans_tri, mzp.c:279-292).  Moves pivot
-    columns onto the diagonal in the triangular region after PLE."""
+def apply_p_right_trans_tri_seq(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
+    """Sequential reference model (one fori step per swap) — the
+    cross-validation oracle for apply_p_right_trans_tri, and the exact
+    semantics for arbitrary (non-PLE) swap arrays."""
     n = min(m.ncols, v.shape[0])
     ridx = jnp.arange(m.nrows, dtype=jnp.int32)[:, None]
 
@@ -100,3 +149,58 @@ def apply_p_right_trans_tri(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
 
     data = jax.lax.fori_loop(0, n, body, m.data)
     return BitMatrix(data, m.ncols)
+
+
+def apply_p_right_trans_tri(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
+    """For i ascending: swap columns (i, v[i]) in rows [0, i) only
+    (reference: mzd_apply_p_right_trans_tri, mzp.c:279-292).  Moves pivot
+    columns onto the diagonal in the triangular region after PLE.
+
+    Vectorized under the PLE-Q contract (v[i] >= i; at most one *real*
+    swap — v[j] > j — targets any column, which holds for PLE's Q since
+    pivot columns are distinct and the tail is identity).  Each real-step
+    column c < n receives the pristine column v[c] in rows < c; every
+    other cell chains through ``pre(x)`` = the real step targeting column
+    x.  Because both pre and its inverse are partial functions, the
+    chains are disjoint descending paths, and the per-row answer is
+    ``orig[r, min(A[r, path(c)], c)]`` where A[r, T] = the smallest node
+    of path T that is > r — built with one scatter plus a reverse
+    row-cummin instead of an n-step scalar loop."""
+    nrows, ncols = m.nrows, m.ncols
+    n = min(ncols, v.shape[0])
+    c = jnp.arange(ncols, dtype=jnp.int32)
+    v_ext = jnp.concatenate([v[:n].astype(jnp.int32),
+                             jnp.arange(n, ncols, dtype=jnp.int32)])
+    real = v_ext > c
+    # pre[x] = the real step targeting column x (unique per the contract)
+    pre = jnp.full((ncols,), -1, jnp.int32).at[
+        jnp.where(real, v_ext, ncols)].max(c, mode="drop")
+    # path id = terminal of the pre-chain (pointer doubling, 1-D)
+    import numpy as np
+    f = jnp.where(pre >= 0, pre, c)
+    for _ in range(max(1, int(np.ceil(np.log2(max(ncols, 2)))))):
+        f = f[f]
+    pathid = f
+
+    # A[r, T] = min{node y on path T : y > r}: node y activates rows < y
+    # (scatter at row y-1), then reverse cummin down the rows.
+    sentinel = jnp.int32(2**31 - 1)
+    B = jnp.full((nrows, ncols), sentinel)
+    # node y activates rows r < y: scatter at row min(y-1, nrows-1) so
+    # nodes beyond the row count still activate every real row
+    B = B.at[jnp.clip(c - 1, 0, nrows - 1), pathid].min(
+        jnp.where(c >= 1, c, sentinel), mode="drop")
+    A = jax.lax.cummin(B, axis=0, reverse=True)
+
+    sel = jnp.minimum(A[:, pathid], c[None, :]).astype(jnp.int32)
+    ridx = jnp.arange(nrows, dtype=jnp.int32)[:, None]
+    src = jnp.where(real[None, :] & (ridx < c[None, :]),
+                    jnp.broadcast_to(v_ext[None, :], sel.shape), sel)
+
+    bits = unpack_bits(m.data, jnp.uint8)[:, :ncols]
+    out = jnp.take_along_axis(bits, src, axis=1)
+    packed = pack_bits(out)
+    w = m.data.shape[1]
+    if packed.shape[1] < w:
+        packed = jnp.pad(packed, ((0, 0), (0, w - packed.shape[1])))
+    return mask_padding(BitMatrix(packed[:, :w], ncols))

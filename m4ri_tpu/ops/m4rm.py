@@ -58,7 +58,16 @@ def addmul_m4rm(c: BitMatrix | None, a: BitMatrix, b: BitMatrix,
 @functools.partial(jax.jit, static_argnames=("kk", "k"))
 def _addmul_m4rm_impl(cdata, adata, bdata, kk: int, k: int):
     """One jitted program per shape: eagerly this engine paid a ~40 ms
-    tunnel dispatch (plus a fresh remote compile) per op."""
+    tunnel dispatch (plus a fresh remote compile) per op.
+
+    Giant-step blocking (reference: __M4RI_MUL_BLOCKSIZE, mzd.h:59;
+    brilliantrussian.c:1106-1111): tables for at most a ~256 MB block of
+    slices are live at once — the reference blocks to keep tables
+    L2-resident, here the same trick bounds HBM (an unblocked build is
+    ~6 GB of tables at n=16384).  Within a block all slices gather from
+    ONE flattened (cs*2^k, nw) table — a single embedding-style row
+    lookup, the form XLA lowers to DMA gathers — then XOR-reduce over
+    the slice axis."""
     m = adata.shape[0]
     nw = bdata.shape[1]
     nslices = (kk + k - 1) // k
@@ -72,25 +81,30 @@ def _addmul_m4rm_impl(cdata, adata, bdata, kk: int, k: int):
     shifts = jnp.arange(k, dtype=jnp.int32)
     idx = jnp.sum(abits << shifts[None, None, :], axis=-1)  # (m, nslices)
 
-    # All tables at once: T[s] = S @ B[s*k:(s+1)*k]; packed selector is just
-    # arange(2^k) when k <= 32.
+    # Table build: T[s] = S @ B[s*k:(s+1)*k] — one GF(2) MXU product per
+    # slice; packed selector is literally arange(2^k) when k <= 32.
     sel = jnp.arange(1 << k, dtype=jnp.uint32)[:, None]
     bd = bdata
     if bd.shape[0] < kk_pad:
         bd = jnp.pad(bd, ((0, kk_pad - bd.shape[0]), (0, 0)))
     b3 = bd.reshape(nslices, k, nw)
-    # allow_pallas=False: under vmap the Pallas kernel's manual-DMA refs
-    # would be batch-lowered per slice; XLA's batched dot is the right tool
-    tables = jax.vmap(
-        lambda bs: mul_packed_data(sel, bs, allow_pallas=False))(b3)
-    # tables: (nslices, 2^k, nw)
 
+    # block size: tables AND the gathered temp both bounded to ~256 MB
+    budget = 1 << 28
+    cs = max(1, min(budget // max(1, (1 << k) * nw * 4),
+                    budget // max(1, m * nw * 4)))
     acc = cdata
-    chunk = max(1, (1 << 28) // max(1, m * nw * 4))  # gather temp <= 256 MB
-    for s0 in range(0, nslices, chunk):
-        s1 = min(s0 + chunk, nslices)
-        t_chunk = tables[s0:s1]                      # (cs, 2^k, nw)
-        i_chunk = idx[:, s0:s1].T[:, :, None]        # (cs, m, 1)
-        g = jnp.take_along_axis(t_chunk, i_chunk, axis=1)  # (cs, m, nw)
-        acc = acc ^ jnp.bitwise_xor.reduce(g, axis=0)
+    for s0 in range(0, nslices, cs):
+        s1 = min(s0 + cs, nslices)
+        # allow_pallas=False: under vmap the Pallas kernel's manual-DMA
+        # refs would be batch-lowered per slice; XLA's batched dot is the
+        # right tool for these small selector products
+        tb = jax.vmap(lambda bs: mul_packed_data(
+            sel, bs, allow_pallas=False))(b3[s0:s1])   # (cs, 2^k, nw)
+        tflat = tb.reshape(-1, nw)
+        fidx = (idx[:, s0:s1]
+                + (jnp.arange(s1 - s0, dtype=jnp.int32) << k)[None, :])
+        g = jnp.take(tflat, fidx.reshape(-1), axis=0)  # (m*cs, nw)
+        acc = acc ^ jnp.bitwise_xor.reduce(
+            g.reshape(m, s1 - s0, nw), axis=1)
     return acc

@@ -155,3 +155,80 @@ def test_compress_l_vectorized_matches_sequential(rng, m, n):
     out_v = np.asarray(_compress_l_impl(data, q, r, m, n))
     out_s = np.asarray(_compress_l_seq(data, q, r, m, n))
     np.testing.assert_array_equal(out_v, out_s)
+
+
+# --- vectorized permutation layer vs sequential oracles (VERDICT r2 #5) ---
+
+def _random_lapack(rng, n):
+    """Random LAPACK swap array: v[i] uniform in [i, n)."""
+    return np.array([rng.integers(i, n) for i in range(n)], np.int32)
+
+
+def _random_ple_q(rng, n, nreal=None):
+    """Swap array satisfying the PLE-Q contract: v[i] >= i, real swaps
+    (v[i] > i) have DISTINCT targets, everything else identity.  Includes
+    multi-hop chains (pivot columns pointing at later pivot rows)."""
+    v = np.arange(n, dtype=np.int32)
+    steps = rng.permutation(n - 1)[: (nreal or n // 3)]
+    used = set()
+    for j in sorted(steps):
+        cands = [c for c in range(j + 1, n) if c not in used]
+        if not cands:
+            continue
+        c = int(rng.choice(cands))
+        v[j] = c
+        used.add(c)
+    return v
+
+
+def test_swaps_to_perm_matches_sequential(rng):
+    from m4ri_tpu.core.permutation import swaps_to_perm, swaps_to_perm_seq
+    for n in (1, 2, 7, 33, 64, 130):
+        for trial in range(4):
+            v = _random_lapack(rng, n)
+            for asc in (True, False):
+                got = np.asarray(swaps_to_perm(jnp_arr(v), asc))
+                want = np.asarray(swaps_to_perm_seq(jnp_arr(v), asc))
+                np.testing.assert_array_equal(got, want, err_msg=f"{n} {asc} {v}")
+    # adversarial: every step targets the last slot (maximal value chain)
+    for n in (5, 40):
+        v = np.full((n,), n - 1, np.int32)
+        v[n - 1] = n - 1
+        for asc in (True, False):
+            got = np.asarray(swaps_to_perm(jnp_arr(v), asc))
+            want = np.asarray(swaps_to_perm_seq(jnp_arr(v), asc))
+            np.testing.assert_array_equal(got, want)
+
+
+def jnp_arr(v):
+    import jax.numpy as jnp
+    return jnp.asarray(v, jnp.int32)
+
+
+def test_apply_p_right_trans_tri_matches_sequential(rng):
+    from m4ri_tpu.core.permutation import (apply_p_right_trans_tri,
+                                           apply_p_right_trans_tri_seq)
+    for (m_, n) in ((40, 40), (64, 40), (33, 70), (100, 100)):
+        for trial in range(3):
+            a = random_dense(rng, m_, n)
+            v = _random_ple_q(rng, n)
+            A = m4.from_numpy(a)
+            got = m4.to_numpy(apply_p_right_trans_tri(A, jnp_arr(v)))
+            want = m4.to_numpy(apply_p_right_trans_tri_seq(A, jnp_arr(v)))
+            np.testing.assert_array_equal(got, want, err_msg=f"{m_}x{n} {v}")
+    # explicit multi-hop chain: v[0]=5, v[5]=9 (pre(9)=5, pre(5)=0)
+    a = random_dense(rng, 12, 12)
+    v = np.arange(12, dtype=np.int32)
+    v[0], v[5] = 5, 9
+    A = m4.from_numpy(a)
+    got = m4.to_numpy(apply_p_right_trans_tri(A, jnp_arr(v)))
+    want = m4.to_numpy(apply_p_right_trans_tri_seq(A, jnp_arr(v)))
+    np.testing.assert_array_equal(got, want)
+    # swap array shorter than ncols: columns beyond n are target-only
+    a = random_dense(rng, 16, 24)
+    v = np.arange(10, dtype=np.int32)
+    v[2], v[7] = 18, 20
+    A = m4.from_numpy(a)
+    got = m4.to_numpy(apply_p_right_trans_tri(A, jnp_arr(v)))
+    want = m4.to_numpy(apply_p_right_trans_tri_seq(A, jnp_arr(v)))
+    np.testing.assert_array_equal(got, want)
