@@ -154,7 +154,16 @@ def top_echelonize(a: BitMatrix, k: int = 0, nb: int | None = None):
     """RREF variant whose pivot search is restricted to the next 6k rows
     below the current rank (reference API: mzd_top_echelonize_m4ri,
     brilliantrussian.c:846-969 — no deep row swaps).  Returns (matrix, rank).
-    """
+
+    Contract (brilliantrussian.h:229-232): the input is already in
+    upper-triangular (echelon) form, in which case the window always
+    suffices and the result is bit-identical to the reference (pinned
+    against tests/ref_top_model.py).  On non-echelon inputs whose pivots
+    sit beyond the window, the reference's output is incidental (lazy
+    partial updates, below-window rows never eliminated); this recast
+    keeps eliminating below the window instead, so it finds at least as
+    many pivots (divergence pinned by
+    test_top_echelonize_out_of_contract_divergence_documented)."""
     from ..utils.graycode import opt_k
     if k <= 0:
         k = min(opt_k(a.nrows, a.ncols), 7)
