@@ -512,14 +512,22 @@ def mzd_make_table(m, r, c, k, t=None, l=None):
     ordv, inc = _graycode.codebook(k)
     two_k = 1 << k
     rows = np.asarray(to_numpy(m))
-    tt = np.zeros((two_k, m.ncols), np.uint8)
+    # T[i] = cumulative XOR of rows[r + inc[0..i-1]]: the selection of
+    # each source row is the cumulative parity of its toggle count, so
+    # the whole table is one (2^k x k) @ (k x ncols) product mod 2
+    # instead of a per-table-row host loop.
+    incv = np.asarray(inc[: two_k - 1], np.int64)
+    onehot = (incv[:, None] == np.arange(k)[None, :]).astype(np.int64)
+    sel = np.zeros((two_k, k), np.int64)
+    sel[1:] = np.cumsum(onehot, axis=0) & 1
+    avail = max(0, min(k, m.nrows - r))
+    if avail:
+        tt = ((sel[:, :avail] @ rows[r:r + avail].astype(np.int64)) & 1
+              ).astype(np.uint8)
+    else:
+        tt = np.zeros((two_k, m.ncols), np.uint8)
     ll = np.zeros(two_k, np.int64)
-    for i in range(1, two_k):
-        needed = r + int(inc[i - 1])
-        ll[int(ordv[i])] = i
-        tt[i] = tt[i - 1]
-        if needed < m.nrows:
-            tt[i] ^= rows[needed]
+    ll[np.asarray(ordv[:two_k], np.int64)] = np.arange(two_k)
     tt[:, :c] = 0
     return from_numpy(tt), jnp.asarray(ll, jnp.int32)
 

@@ -269,11 +269,12 @@ def randomize_custom(nrows: int, ncols: int, callback) -> BitMatrix:
     w64 = (ncols + 63) // 64
     mask_bits = (ncols - 1) % 64 + 1
     mask_end = (1 << mask_bits) - 1
-    rows64 = np.empty((nrows, w64), dtype=np.uint64)
-    for i in range(nrows):
-        for j in range(w64):
-            v = int(callback()) & 0xFFFFFFFFFFFFFFFF
-            rows64[i, j] = v & mask_end if j == w64 - 1 else v
+    # one flat draw preserves the reference's row-major consumption order;
+    # the callback itself is the only remaining per-word Python cost
+    flat = [int(callback()) & 0xFFFFFFFFFFFFFFFF
+            for _ in range(nrows * w64)]
+    rows64 = np.array(flat, dtype=np.uint64).reshape(nrows, w64)
+    rows64[:, w64 - 1] &= np.uint64(mask_end)
     lo = (rows64 & 0xFFFFFFFF).astype(np.uint32)
     hi = (rows64 >> np.uint64(32)).astype(np.uint32)
     out = np.empty((nrows, 2 * w64), dtype=np.uint32)

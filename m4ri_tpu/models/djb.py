@@ -139,9 +139,27 @@ def djb_apply(prog: DjbProgram, v: BitMatrix) -> BitMatrix:
     assert v.nrows == prog.ncols
     vd = np.asarray(v.data)
     w = np.zeros((prog.nrows, vd.shape[1]), np.uint32)
-    for i in range(prog.length - 1, -1, -1):
-        if prog.srctyp[i] == SOURCE_INPUT:
-            w[prog.target[i]] ^= vd[prog.source[i]]
-        else:
-            w[prog.target[i]] ^= w[prog.source[i]]
+    tg = np.asarray(prog.target, np.int64)
+    src = np.asarray(prog.source, np.int64)
+    inp = np.asarray(prog.srctyp, np.int64) == SOURCE_INPUT
+    # Batched replay: maximal runs whose heap sources are untouched by
+    # in-batch targets execute as one gather + one scatter-XOR (order
+    # within a batch is irrelevant for pure XOR accumulation) instead of
+    # one numpy row op per instruction.
+    i = prog.length - 1
+    while i >= 0:
+        touched = set()
+        j = i
+        while j >= 0:
+            if not inp[j] and src[j] in touched:
+                break
+            touched.add(int(tg[j]))
+            j -= 1
+        sl = slice(j + 1, i + 1)
+        s = src[sl]
+        rows = np.where(inp[sl, None],
+                        vd[np.clip(s, 0, vd.shape[0] - 1)],
+                        w[np.clip(s, 0, w.shape[0] - 1)])
+        np.bitwise_xor.at(w, tg[sl], rows)
+        i = j
     return BitMatrix(jnp.asarray(w), v.ncols)

@@ -135,6 +135,8 @@ def _png_unfilter(filt: int, body: np.ndarray, prev: np.ndarray) -> np.ndarray:
         return body
     if filt == 2:  # Up
         return (body + prev).astype(np.uint8)
+    if filt == 1:  # Sub: out[i] = body[i] + out[i-1] == prefix sum mod 256
+        return np.cumsum(body, dtype=np.uint64).astype(np.uint8)
     out = np.zeros_like(body)
     for i in range(len(body)):
         a = int(out[i - 1]) if i else 0          # left
