@@ -12,7 +12,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import functools
 
-from harness import emit, run_marginal
+from harness import emit, run_marginal, xla_counters
 
 REF_4096_S = 0.03943  # reference bench_multiplication 4096 on host CPU
 
@@ -55,7 +55,13 @@ def main():
     slope = run_marginal(lambda it: jax.device_get(chain(a, b, it)[:8]), lo, hi)
     bitops = 2.0 * n**3 / slope
     vs = (bitops / (2.0 * 4096**3 / REF_4096_S)) if n == 4096 else None
-    emit(f"gf2_mul_{n}_{engine}", bitops / 1e12, "Tbit-op/s", slope, vs)
+    # per-op counters: cost-analyse the marginal product (hi vs lo chain)
+    c_hi = xla_counters(chain, a, b, iters=hi)
+    c_lo = xla_counters(chain, a, b, iters=lo)
+    ctr = ({"bytes": c_hi["bytes"] - c_lo["bytes"]}
+           if c_hi and c_lo else None)
+    emit(f"gf2_mul_{n}_{engine}", bitops / 1e12, "Tbit-op/s", slope, vs,
+         counters=ctr, counter_scale=hi - lo)
 
 
 if __name__ == "__main__":

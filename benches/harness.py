@@ -72,13 +72,41 @@ def run_marginal(run_chain, lo: int, hi: int, samples: int = 5) -> float:
     return float(np.median(slopes))
 
 
+# Public TPU v5e peaks used for utilization reporting: 394 int8 TOPS on
+# the MXU (each int8 MAC carries one AND+XOR GF(2) term -> 788 effective
+# Tbit-op/s ceiling for the parity product) and ~819 GB/s HBM.
+V5E_INT8_TOPS = 394e12
+V5E_EFF_PEAK_BITOPS = 2 * V5E_INT8_TOPS
+V5E_HBM_BYTES_S = 819e9
+
+
+def xla_counters(jitted_fn, *args, **kwargs):
+    """Per-op hardware-counter analogue (reference: PAPI around each
+    bench op, bench_multiplication.c:147-158, configure.ac:159-196):
+    XLA's compiled cost analysis gives the program's model FLOPs and
+    bytes accessed; dividing by the measured wall yields achieved
+    bytes/s and MXU utilization, emitted next to the Tbit-op/s."""
+    try:
+        ca = jitted_fn.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return {"flops": float(ca.get("flops", 0.0)),
+                "bytes": float(ca.get("bytes accessed", 0.0))}
+    except Exception:
+        return {}
+
+
 def emit(metric: str, value: float, unit: str, wall: float,
          vs_baseline: float | None = None,
-         bitops: float | None = None) -> None:
+         bitops: float | None = None,
+         counters: dict | None = None,
+         counter_scale: float = 1.0) -> None:
     """One JSON line per program.  ``bitops`` is the effective GF(2)
     bit-operation count of the measured op (2 per AND+XOR term, the
     reference's cc/n^x normalization, bench_multiplication.c:147-158);
-    when given, the record reports the achieved Tbit-op/s."""
+    when given, the record reports the achieved Tbit-op/s.  ``counters``
+    (from xla_counters, divided by ``counter_scale`` ops per program)
+    adds achieved HBM GB/s and MXU utilization."""
     import json
     rec = {"metric": metric, "value": round(value, 4), "unit": unit,
            "wall_s": round(wall, 6)}
@@ -86,6 +114,16 @@ def emit(metric: str, value: float, unit: str, wall: float,
         rec["vs_baseline"] = round(vs_baseline, 3)
     if bitops is not None and wall > 0:
         rec["tbitops"] = round(bitops / wall / 1e12, 3)
+    if counters and wall > 0:
+        b = counters.get("bytes", 0.0) / max(counter_scale, 1e-12)
+        if b:
+            rec["hbm_gbytes_s"] = round(b / wall / 1e9, 1)
+            rec["hbm_util"] = round(b / wall / V5E_HBM_BYTES_S, 3)
+    if unit == "Tbit-op/s" and value > 0:
+        rec["mxu_util"] = round(value * 1e12 / V5E_EFF_PEAK_BITOPS, 3)
+    elif "tbitops" in rec:
+        rec["mxu_util"] = round(
+            rec["tbitops"] * 1e12 / V5E_EFF_PEAK_BITOPS, 3)
     print(json.dumps(rec))
 
 
