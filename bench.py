@@ -125,6 +125,32 @@ def _preflight(timeout_s: float = 120.0, attempts: int = 3,
     return err
 
 
+def _warmup_autotune(n: int) -> None:
+    """Tune the fused kernel's tiles for this shape bucket during warmup
+    when no persisted winner exists (VERDICT r2 #6: a fresh deployment
+    otherwise runs default tiles).  Bounded to the three strongest
+    candidates; skipped off-TPU or via M4RI_TPU_BENCH_AUTOTUNE=0."""
+    import os
+    if os.environ.get("M4RI_TPU_BENCH_AUTOTUNE", "1") == "0" or n > 8192:
+        return
+    try:
+        import jax
+        if jax.default_backend() != "tpu":
+            return
+        from m4ri_tpu.ops import pallas_mul as pm
+        key = pm._tune_key(n, n // 32, n // 32)
+        if key in pm._tune_cache():
+            return
+        print(f"# autotuning tiles for bucket {key}...", file=sys.stderr)
+        best = pm.autotune(n, n, n,
+                           candidates=[(256, 128), (512, 128), (256, 256)],
+                           reps=2)
+        print(f"# autotune winner: {best}", file=sys.stderr)
+    except Exception as e:  # never let tuning kill the bench
+        print(f"# autotune skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     err = _preflight()
@@ -137,6 +163,7 @@ def main():
             "error": f"device unreachable: {err}",
         }))
         sys.exit(1)
+    _warmup_autotune(n)
     wall = bench_mul(n)
     bitops = 2.0 * n**3 / wall
     ref_bitops = 2.0 * 4096**3 / REFERENCE_WALL_S

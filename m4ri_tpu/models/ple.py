@@ -177,11 +177,11 @@ def run_panel_loop(panel_words, r, base, t, r_in, m: int, nb: int,
 @functools.partial(jax.jit, static_argnames=("m", "n", "nb", "preserve_l",
                                              "search_window", "window",
                                              "engine", "use_post",
-                                             "col_skip"))
+                                             "col_skip", "dyn_skip"))
 def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
                        search_window: int = 0, window: int = 0,
                        engine: str = "xla", use_post: bool = True,
-                       col_skip: bool = True):
+                       col_skip: bool = True, dyn_skip: bool = False):
     nbw = nb // WORD_BITS
     W = window
     assert W >= nb + search_window, (W, nb, search_window)
@@ -353,14 +353,23 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
             # instance compiled with that col_tile_skip — one scan body,
             # w_pad/128 small custom-call variants (compiling one body
             # per group instead blew up the remote-compile bill).
-            from ..ops.pallas_schur import gf2_schur_update
+            from ..ops.pallas_schur import (gf2_schur_update,
+                                            gf2_schur_update_dyn)
             interp = engine == "pallas_interpret"
             tnw_s = 128  # gf2_schur_update's tile for 128-multiple widths
             ngr = w_pad // tnw_s
-            cskip = (col_skip and w_pad % tnw_s == 0
+            dskip = (dyn_skip and w_pad % tnw_s == 0
+                     and m_pad % 256 == 0 and nbw % 8 == 0)
+            cskip = (not dskip and col_skip and w_pad % tnw_s == 0
                      and ngr > 1 and (tnw_s * WORD_BITS) % nb == 0
                      and m_pad % 256 == 0)
-            if cskip:
+            if dskip:
+                # one instance, runtime bounds skip rows above the rank
+                # AND factored column tiles (no lax.switch instances)
+                A = gf2_schur_update_dyn(A, Lpw, up, r_in, (t + 1) * nbw,
+                                         tm=256, tnw=tnw_s,
+                                         interpret=interp)
+            elif cskip:
                 ppt = tnw_s * WORD_BITS // nb  # panels per column tile
 
                 def mk(g):
@@ -416,7 +425,8 @@ def block_factor(a: BitMatrix, preserve_l: bool, nb: int | None = None,
                               and jax.default_backend() == "tpu") else "xla"
     data, p, q, r = _block_factor_impl(
         a.data, a.nrows, a.ncols, nb, preserve_l, search_window, window,
-        engine, cfg.use_pallas_panel_post, cfg.schur_col_skip)
+        engine, cfg.use_pallas_panel_post, cfg.schur_col_skip,
+        cfg.schur_dyn)
     return data, p, q, r
 
 

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils.config import WORD_BITS
 from .pallas_mul import _pack_planes, _unpack_planes_ax0, _unpack_planes_ax1
 
-__all__ = ["gf2_schur_update"]
+__all__ = ["gf2_schur_update", "gf2_schur_update_dyn"]
 
 
 def _make_kernel(tm: int, tkw: int, tnw: int, j0: int = 0):
@@ -121,6 +121,196 @@ def _schur_padded(bounds, c, at3, bp3, tm: int, tkw: int, tnw: int,
             transcendentals=0),
         interpret=interpret,
     )(bounds, c, at3, bp3)
+
+
+def _make_dyn_kernel(tm: int, tkw: int, tnw: int, I: int, J: int):
+    """Single-instance fully-dynamic tile skipping: instead of a static
+    j0 per compiled instance (lax.switch in models/ple.py) the kernel
+    runs ONE hand-rolled software pipeline whose trip count derives from
+    the runtime (r0, c0w) — tiles above the rank or left of the trailing
+    edge are never streamed at all, in BOTH dimensions.  This is the
+    packed analogue of the reference recursing on the shrinking trailing
+    quadrant (ple.c:122-127) with no instance explosion and no
+    static-bound slack.  (pltpu.emit_pipeline would express this, but it
+    cannot run under the CPU interpreter, which would leave the
+    production path without test coverage — so the double-buffered DMA
+    pipeline is written out with the same primitives pallas_panel uses.)
+    """
+    tk = tkw * WORD_BITS
+
+    def _kernel(bounds, c_hbm, at_hbm, bp_hbm, o_hbm, cbuf, abuf, ubuf,
+                ub_ref, ci_sem, ai_sem, ui_sem, co_sem):
+        r0 = bounds[0]
+        c0w = bounds[1]
+        i_start = r0 // tm          # tiles fully above r0 are inactive
+        j_start = c0w // tnw        # tiles fully left of c0w likewise
+        n_i = I - i_start
+        n_j = J - j_start
+        total = jnp.where((n_i > 0) & (n_j > 0), n_j * n_i, 0)
+
+        def tile_of(s):
+            jr = s // n_i
+            ir = s - jr * n_i
+            return i_start + ir, j_start + jr, ir, jr
+
+        def c_tile(hbm, i, j):
+            return hbm.at[pl.ds(i * tm, tm), pl.ds(j * tnw, tnw)]
+
+        def start_inputs(s, slot):
+            i, j, _, _ = tile_of(s)
+            pltpu.make_async_copy(c_tile(c_hbm, i, j), cbuf.at[slot],
+                                  ci_sem.at[slot]).start()
+            pltpu.make_async_copy(at_hbm.at[i], abuf.at[slot],
+                                  ai_sem.at[slot]).start()
+
+        @pl.when(total > 0)
+        def _prologue():
+            start_inputs(0, 0)
+            _, j0_, _, _ = tile_of(0)
+            pltpu.make_async_copy(bp_hbm.at[j0_], ubuf.at[0],
+                                  ui_sem.at[0]).start()
+
+        def body(s, carry):
+            slot = s % 2
+            i, j, ir, jr = tile_of(s)
+            colp = jr % 2
+
+            # new column: wait its U, cache it unpacked, prefetch next
+            @pl.when(ir == 0)
+            def _():
+                pltpu.make_async_copy(bp_hbm.at[j], ubuf.at[colp],
+                                      ui_sem.at[colp]).wait()
+                ub_ref[:] = _unpack_planes_ax1(ubuf[colp])
+
+                @pl.when(jr + 1 < n_j)
+                def _():
+                    pltpu.make_async_copy(
+                        bp_hbm.at[j + 1], ubuf.at[1 - colp],
+                        ui_sem.at[1 - colp]).start()
+
+            pltpu.make_async_copy(c_tile(c_hbm, i, j), cbuf.at[slot],
+                                  ci_sem.at[slot]).wait()
+            pltpu.make_async_copy(at_hbm.at[i], abuf.at[slot],
+                                  ai_sem.at[slot]).wait()
+
+            ua_t = _unpack_planes_ax0(abuf[slot])        # (tk, tm) int8
+            acc = jax.lax.dot_general(
+                ua_t, ub_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+            # this slot's previous write-back (step s-2) must land first
+            @pl.when(s >= 2)
+            def _():
+                i2, j2, _, _ = tile_of(s - 2)
+                pltpu.make_async_copy(cbuf.at[slot], c_tile(o_hbm, i2, j2),
+                                      co_sem.at[slot]).wait()
+
+            cbuf[slot] = cbuf[slot] ^ _pack_planes(acc & 1, tnw)
+            pltpu.make_async_copy(cbuf.at[slot], c_tile(o_hbm, i, j),
+                                  co_sem.at[slot]).start()
+
+            # prefetch step s+1 into the other slot; its outstanding
+            # write-back (started at step s-1) must land before the
+            # incoming DMA reuses the buffer
+            @pl.when(s + 1 < total)
+            def _():
+                @pl.when(s >= 1)
+                def _():
+                    i3, j3, _, _ = tile_of(s - 1)
+                    pltpu.make_async_copy(
+                        cbuf.at[1 - slot], c_tile(o_hbm, i3, j3),
+                        co_sem.at[1 - slot]).wait()
+
+                start_inputs(s + 1, 1 - slot)
+
+            return carry
+
+        jax.lax.fori_loop(0, total, body, 0, unroll=False)
+
+        # drain the last two write-backs
+        @pl.when(total >= 1)
+        def _():
+            s = total - 1
+            i, j, _, _ = tile_of(s)
+            pltpu.make_async_copy(cbuf.at[s % 2], c_tile(o_hbm, i, j),
+                                  co_sem.at[s % 2]).wait()
+
+        @pl.when(total >= 2)
+        def _():
+            s = total - 2
+            i, j, _, _ = tile_of(s)
+            pltpu.make_async_copy(cbuf.at[s % 2], c_tile(o_hbm, i, j),
+                                  co_sem.at[s % 2]).wait()
+
+    return _kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tm", "tkw", "tnw", "interpret"))
+def _schur_dyn_padded(bounds, c, at3, bp3, tm: int, tkw: int, tnw: int,
+                      interpret: bool = False):
+    m, nw = c.shape
+    tk = tkw * WORD_BITS
+    tn = tnw * WORD_BITS
+    I, J = m // tm, nw // tnw
+    return pl.pallas_call(
+        _make_dyn_kernel(tm, tkw, tnw, I, J),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((m, nw), jnp.uint32),
+        # in place: untouched (skipped) tiles keep their input bytes
+        input_output_aliases={1: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, tm, tnw), jnp.uint32),   # C tile double buffer
+            pltpu.VMEM((2, tkw, tm), jnp.uint32),   # L chunk double buffer
+            pltpu.VMEM((2, tk, tnw), jnp.uint32),   # packed-U double buffer
+            pltpu.VMEM((tk, tn), jnp.int8),         # unpacked-U column cache
+            pltpu.SemaphoreType.DMA((2,)),          # C in
+            pltpu.SemaphoreType.DMA((2,)),          # L in
+            pltpu.SemaphoreType.DMA((2,)),          # U in
+            pltpu.SemaphoreType.DMA((2,)),          # C out
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * tk * (nw * WORD_BITS),
+            bytes_accessed=(tkw * m + tk * nw + 2 * m * nw) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(bounds, c, at3, bp3)
+
+
+def gf2_schur_update_dyn(c_data: jnp.ndarray, lp_data: jnp.ndarray,
+                         up_data: jnp.ndarray, r0, c0w,
+                         tm: int = 256, tnw: int = 128,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Fully-dynamic variant of gf2_schur_update: same contract (lp rows
+    above r0 zero, up columns left of word c0w zero), but the inactive
+    tiles are skipped from one compiled kernel via a dynamically-bounded
+    software pipeline instead of per-instance static bounds.  Requires
+    shapes pre-aligned to the tiles (production panel shapes are)."""
+    m, nw = c_data.shape
+    m2, kw = lp_data.shape
+    k, nw2 = up_data.shape
+    assert m2 == m and nw2 == nw and k <= kw * WORD_BITS
+    assert m % tm == 0 and nw % tnw == 0 and kw % 8 == 0, \
+        (m, tm, nw, tnw, kw)
+    tkw = kw
+    k_pad = kw * WORD_BITS
+    at3 = lp_data.T.reshape(kw, m // tm, tm).swapaxes(0, 1)  # (I, kw, tm)
+    up = up_data
+    if k < k_pad:
+        up = jnp.pad(up, ((0, k_pad - k), (0, 0)))
+    bp = (up.reshape(1, tkw, WORD_BITS, nw).swapaxes(1, 2)
+            .reshape(k_pad, nw))
+    bp3 = bp.reshape(k_pad, nw // tnw, tnw).swapaxes(0, 1)  # (J, tk, tnw)
+    bounds = jnp.stack([jnp.asarray(r0, jnp.int32),
+                        jnp.asarray(c0w, jnp.int32)])
+    return _schur_dyn_padded(bounds, c_data, at3, bp3, tm, tkw, tnw,
+                             interpret)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -77,6 +77,13 @@ class Config:
     # (ops/pallas_schur.py col_tile_skip).  Costs one scan body per group
     # at compile time; disable if a remote-compile environment chokes.
     schur_col_skip: bool = True
+    # Fully-dynamic Schur tile skipping (ops/pallas_schur.py
+    # gf2_schur_update_dyn): one hand-pipelined kernel instance whose
+    # runtime (r0, c0w) bounds skip BOTH the rows above the rank and the
+    # already-factored column tiles — supersedes schur_col_skip when on.
+    # Default off until hardware-measured (interpret-validated only; the
+    # round-3 tunnel outage blocked the TPU ablation).
+    schur_dyn: bool = False
     # Fuse the below-window panel elimination (lam / v / miss chain) into
     # one row-tiled Mosaic pass (ops/pallas_post.py) instead of the XLA
     # unpack-dot-pack chain, whose m x nb intermediates get layout-copied

@@ -293,3 +293,46 @@ def test_autotune_cache_roundtrip(tmp_path, monkeypatch):
     out = pm.gf2_mul_pallas(A.data, B.data, interpret=True)
     np.testing.assert_array_equal(
         m4.to_numpy(m4.BitMatrix(out, 4096)), oracle.mul(a, b))
+
+
+@pytest.mark.parametrize("r0,c0w", [
+    (0, 0), (100, 16), (256, 128), (512, 128), (37, 5), (511, 127),
+])
+def test_pallas_schur_dyn_interpret(rng, r0, c0w):
+    """The fully-dynamic pipeline kernel (gf2_schur_update_dyn) must match
+    C ^ Lp@Up under the contract (lp rows above r0 zero, up cols left of
+    word c0w zero), including the zero-trip full-skip case."""
+    from m4ri_tpu.ops.pallas_schur import gf2_schur_update_dyn
+    m, nw, kw = 512, 128, 8
+    c = random_dense(rng, m, nw * 32)
+    lp = random_dense(rng, m, kw * 32)
+    up = random_dense(rng, kw * 32, nw * 32)
+    lp[:r0] = 0
+    up[:, : c0w * 32] = 0
+    C, L, U = m4.from_numpy(c), m4.from_numpy(lp), m4.from_numpy(up)
+    out = gf2_schur_update_dyn(C.data, L.data, U.data, r0, c0w,
+                               tm=256, tnw=128, interpret=True)
+    np.testing.assert_array_equal(
+        m4.to_numpy(m4.BitMatrix(out, nw * 32)), c ^ oracle.mul(lp, up))
+
+
+def test_block_factor_schur_dyn_interpret(rng, monkeypatch):
+    """block_factor with Config.schur_dyn must stay bit-identical to the
+    XLA engine — P, Q, rank and in-place layout — including on a
+    rank-deficient input (dynamic r0 lags the panel index)."""
+    from m4ri_tpu.models.ple import block_factor
+    from m4ri_tpu.utils import config as cfgmod
+    a = random_dense(rng, 320, 8192)
+    a[100:200] = 0
+    A = m4.from_numpy(a)
+    want = block_factor(A, preserve_l=True, engine="xla")
+    monkeypatch.setenv("M4RI_TPU_SCHUR_DYN", "1")
+    cfgmod.get_config.cache_clear()
+    try:
+        assert cfgmod.get_config().schur_dyn
+        got = block_factor(A, preserve_l=True, engine="pallas_interpret")
+    finally:
+        cfgmod.get_config.cache_clear()
+    for g, w, what in zip(got, want, ["data", "P", "Q", "rank"]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      err_msg=what)
