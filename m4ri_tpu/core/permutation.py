@@ -27,6 +27,10 @@ __all__ = [
     "permute_rows", "permute_cols",
 ]
 
+# int32 elements per (rows x ncols) temporary in apply_p_right_trans_tri
+# (~512 MB); module-level so tests can shrink it to force chunking
+_TRANS_TRI_CHUNK_ELEMS = 1 << 27
+
 
 def swaps_to_perm_seq(v: jnp.ndarray, ascending: bool = True) -> jnp.ndarray:
     """Sequential reference model of the swap fold (one fori step per
@@ -183,22 +187,38 @@ def apply_p_right_trans_tri(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
     pathid = f
 
     # A[r, T] = min{node y on path T : y > r}: node y activates rows < y
-    # (scatter at row y-1), then reverse cummin down the rows.
+    # (scatter at row min(y-1, nrows-1)), then reverse cummin down the
+    # rows.  Row-chunked bottom-up with a running min carry so the
+    # (rows x ncols) int32 temporaries stay ~512 MB at any n (an
+    # unchunked 32768^2 pluq would hold several 4 GB buffers at once).
     sentinel = jnp.int32(2**31 - 1)
-    B = jnp.full((nrows, ncols), sentinel)
-    # node y activates rows r < y: scatter at row min(y-1, nrows-1) so
-    # nodes beyond the row count still activate every real row
-    B = B.at[jnp.clip(c - 1, 0, nrows - 1), pathid].min(
-        jnp.where(c >= 1, c, sentinel), mode="drop")
-    A = jax.lax.cummin(B, axis=0, reverse=True)
-
-    sel = jnp.minimum(A[:, pathid], c[None, :]).astype(jnp.int32)
-    ridx = jnp.arange(nrows, dtype=jnp.int32)[:, None]
-    src = jnp.where(real[None, :] & (ridx < c[None, :]),
-                    jnp.broadcast_to(v_ext[None, :], sel.shape), sel)
-
+    node_row = jnp.clip(c - 1, 0, nrows - 1)
+    node_val = jnp.where(c >= 1, c, sentinel)
     bits = unpack_bits(m.data, jnp.uint8)[:, :ncols]
-    out = jnp.take_along_axis(bits, src, axis=1)
+    chunk = max(1, min(nrows, _TRANS_TRI_CHUNK_ELEMS // max(ncols, 1)))
+    carry = jnp.full((ncols,), sentinel)
+    out_rows = [None] * ((nrows + chunk - 1) // chunk)
+    starts = list(range(0, nrows, chunk))
+    for ci in reversed(range(len(starts))):
+        r1 = starts[ci]
+        rows = min(chunk, nrows - r1)
+        B = jnp.full((rows, ncols), sentinel)
+        # mask nodes outside the chunk BEFORE scattering: negative
+        # indices wrap (numpy semantics) before mode="drop" applies
+        local = node_row - r1
+        ok = (local >= 0) & (local < rows)
+        B = B.at[jnp.where(ok, local, rows), pathid].min(
+            jnp.where(ok, node_val, sentinel), mode="drop")
+        A = jnp.minimum(jax.lax.cummin(B, axis=0, reverse=True),
+                        carry[None, :])
+        carry = A[0]
+        sel = jnp.minimum(A[:, pathid], c[None, :]).astype(jnp.int32)
+        ridx = (r1 + jnp.arange(rows, dtype=jnp.int32))[:, None]
+        src = jnp.where(real[None, :] & (ridx < c[None, :]),
+                        jnp.broadcast_to(v_ext[None, :], sel.shape), sel)
+        out_rows[ci] = jnp.take_along_axis(bits[r1:r1 + rows], src, axis=1)
+    out = out_rows[0] if len(out_rows) == 1 else \
+        jnp.concatenate(out_rows, axis=0)
     packed = pack_bits(out)
     w = m.data.shape[1]
     if packed.shape[1] < w:

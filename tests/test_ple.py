@@ -232,3 +232,17 @@ def test_apply_p_right_trans_tri_matches_sequential(rng):
     got = m4.to_numpy(apply_p_right_trans_tri(A, jnp_arr(v)))
     want = m4.to_numpy(apply_p_right_trans_tri_seq(A, jnp_arr(v)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_apply_p_right_trans_tri_chunked(rng, monkeypatch):
+    """The row-chunked cummin (memory bound for big-n pluq) must agree
+    with the sequential oracle across chunk boundaries and carry."""
+    from m4ri_tpu.core import permutation as perm
+    monkeypatch.setattr(perm, "_TRANS_TRI_CHUNK_ELEMS", 64 * 40)  # 64 rows
+    a = random_dense(rng, 530, 40)
+    v = np.arange(40, dtype=np.int32)
+    v[0], v[5], v[12], v[20] = 5, 9, 30, 25  # chains + plain swaps
+    A = m4.from_numpy(a)
+    got = m4.to_numpy(perm.apply_p_right_trans_tri(A, jnp_arr(v)))
+    want = m4.to_numpy(perm.apply_p_right_trans_tri_seq(A, jnp_arr(v)))
+    np.testing.assert_array_equal(got, want)
