@@ -2,7 +2,11 @@
 `bench_multiplication n [cutoff]`).
 
 Usage: python benches/bench_multiplication.py [n] [engine]
-  engine in {mxu, m4rm, strassen, naive}
+  engine in {dispatch, mxu, m4rm, strassen, naive}
+
+``dispatch`` is the production `mul()` path (Strassen schedules engage at
+min-dim >= 2*strassen_cutoff, depth auto-capped at 2); ``mxu`` is the raw
+fused-kernel/blocked engine (no Strassen) — useful for ablations.
 """
 
 import sys
@@ -30,7 +34,11 @@ def main():
     a = jax.random.bits(jax.random.PRNGKey(0), (n, w), dtype=jnp.uint32)
     b = jax.random.bits(jax.random.PRNGKey(1), (n, w), dtype=jnp.uint32)
 
-    if engine == "mxu":
+    if engine == "dispatch":
+        from m4ri_tpu.core.bitmatrix import BitMatrix
+        from m4ri_tpu.ops.mul import mul
+        core = lambda x, y: mul(BitMatrix(x, n), BitMatrix(y, n)).data
+    elif engine == "mxu":
         core = mul_packed_data
     elif engine == "strassen":
         core = lambda x, y: strassen_mul_data(x, y, n, n, n, cutoff=n // 4)

@@ -198,12 +198,11 @@ def _make_dyn_kernel(tm: int, tkw: int, tnw: int, I: int, J: int):
                 ua_t, ub_ref[:], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
 
-            # this slot's previous write-back (step s-2) must land first
-            @pl.when(s >= 2)
-            def _():
-                i2, j2, _, _ = tile_of(s - 2)
-                pltpu.make_async_copy(cbuf.at[slot], c_tile(o_hbm, i2, j2),
-                                      co_sem.at[slot]).wait()
+            # This slot's previous write-back (step s-2) already landed:
+            # the prefetch branch of step s-1 drained co_sem[slot] BEFORE
+            # starting the input DMA that refilled cbuf[slot] — waiting it
+            # again here would decrement the semaphore twice per signal
+            # and deadlock the pipeline (observed as a TPU kernel fault).
 
             cbuf[slot] = cbuf[slot] ^ _pack_planes(acc & 1, tnw)
             pltpu.make_async_copy(cbuf.at[slot], c_tile(o_hbm, i, j),
