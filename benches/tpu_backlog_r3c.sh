@@ -14,6 +14,17 @@ run() { name=$1; tmo=$2; shift 2
   timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1
   echo "--- $name rc=$? (tail)"; tail -3 "$LOG/$name.log"; }
 
+# A0. re-autotune with the fixed chain-based timing (the morning run's
+# winner was picked under single-dispatch RPC noise), then the driver bench
+run retune 3600 python -c "
+import os
+os.remove(os.path.expanduser('~/.cache/m4ri_tpu/autotune.json'))
+from m4ri_tpu.ops.pallas_mul import autotune
+print('4096:', autotune(4096, 4096, 4096, reps=3))
+print('16384:', autotune(16384, 16384, 16384, reps=2))
+"
+run bench_mul_4096b 1800 python bench.py 4096
+
 # A. dispatch mul
 run mul_disp_16384 3600 python benches/bench_multiplication.py 16384 dispatch
 run mul_disp_65536 3600 python benches/bench_multiplication.py 65536 dispatch
@@ -41,7 +52,15 @@ print('DYN PROBE OK')
 run ple_32768_dyn2 3600 env M4RI_TPU_SCHUR_DYN=1 python benches/bench_ple.py 32768 32768 ple
 run rank_16384_dyn2 1800 env M4RI_TPU_SCHUR_DYN=1 python benches/bench_rank.py 16384
 
-# C. rank regression ablation
+# B2. TRSM x4 (the first backlog passed string args; the CLI takes ints)
+run trsm_ul2 1800 python benches/bench_trsm.py 32768 32768 1 1
+run trsm_ll2 1800 python benches/bench_trsm.py 32768 32768 0 1
+run trsm_ur2 1800 python benches/bench_trsm.py 32768 32768 1 0
+run trsm_lr2 1800 python benches/bench_trsm.py 32768 32768 0 0
+
+# C. rank regression ablation (rank_16384_base ran right after a worker
+# crash; re-measure base on a healthy worker first)
+run rank_base2 1800 python benches/bench_rank.py 16384
 run rank_nopost 1800 env M4RI_TPU_USE_PALLAS_PANEL_POST=0 python benches/bench_rank.py 16384
 run rank_noskip 1800 env M4RI_TPU_SCHUR_COL_SKIP=0 python benches/bench_rank.py 16384
 run rank_neither 1800 env M4RI_TPU_USE_PALLAS_PANEL_POST=0 M4RI_TPU_SCHUR_COL_SKIP=0 python benches/bench_rank.py 16384

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.bitmatrix import BitMatrix, mask_padding
+from ..core.bitmatrix import BitMatrix, mask_padding, width_for
 from ..ops.mul import mul_packed_data, pack_bits, unpack_bits
 from ..utils.config import WORD_BITS, get_config
 
@@ -469,7 +469,6 @@ def _compress_l_impl(data, q, r, m: int, n: int):
     two column gathers and masked selects — O(log r) tiny steps instead of
     min(m, n) full passes."""
     import numpy as np
-    from ..ops.mul import pack_bits, unpack_bits
 
     rmax = min(m, n)
     c = jnp.arange(n, dtype=jnp.int32)
@@ -491,14 +490,31 @@ def _compress_l_impl(data, q, r, m: int, n: int):
     tv = jnp.zeros((n,), jnp.bool_).at[:rmax].set(real)  # column is a target
     o2 = jnp.where(tv, jnp.pad(qv, (0, n - rmax)), c)
 
-    bits = unpack_bits(data, jnp.uint8)[:, :n]
-    g1 = bits[:, o1]
-    g2 = bits[:, o2]
-    i = jnp.arange(m, dtype=jnp.int32)[:, None]
-    out = jnp.where(tv[None, :] & (i >= c[None, :]), g2,
-                    jnp.where(sv[None, :] & (i >= src_event[None, :]), g1,
-                              bits))
-    packed = pack_bits(out)
+    # Work fully packed: transpose, per-COLUMN (now row) packed gathers and
+    # threshold-mask merges, transpose back.  The unpacked formulation this
+    # replaces materialized several m x n int8 intermediates (~1 GB each at
+    # 32768) — ~10x the HBM traffic of the two butterfly transposes here.
+    from ..core.transpose import transpose
+
+    dt = transpose(BitMatrix(data[:, :width_for(n)], n)).data  # (n, w(m))
+    wm = dt.shape[1]
+    g1 = dt[o1]  # packed source-origin columns
+    g2 = dt[o2]  # packed target-origin columns
+
+    def row_ge_mask(th):
+        """uint32[n, wm]: bit i set iff i >= th[c] (lane i of row c)."""
+        wi = jnp.arange(wm, dtype=jnp.int32)[None, :]
+        full = (wi >= ((th[:, None] + 31) // 32)).astype(jnp.uint32)
+        part = (wi == (th[:, None] // 32))
+        sh = (th[:, None] % 32).astype(jnp.uint32)
+        return full * jnp.uint32(0xFFFFFFFF) | jnp.where(
+            part, jnp.uint32(0xFFFFFFFF) << sh, jnp.uint32(0))
+
+    m1 = row_ge_mask(jnp.where(sv, src_event, jnp.int32(m)))
+    m2 = row_ge_mask(jnp.where(tv, c, jnp.int32(m)))
+    # per column: [0, src): orig, [src, c): g1, [c, m): g2
+    out_t = (dt & ~m1 & ~m2) | (g1 & m1 & ~m2) | (g2 & m2)
+    packed = transpose(BitMatrix(out_t, m)).data
     w = data.shape[1]
     if packed.shape[1] < w:
         packed = jnp.pad(packed, ((0, 0), (0, w - packed.shape[1])))

@@ -197,14 +197,39 @@ def _tune_cache() -> dict:
 
 def autotune(m: int, k: int, n: int, candidates=None, reps: int = 3):
     """Measure the kernel over candidate (tm, tnw) tiles for this shape
-    bucket and persist the winner.  Returns the chosen (tm, tnw)."""
+    bucket and persist the winner.  Returns the chosen (tm, tnw).
+
+    Timing protocol: each candidate is timed as the SLOPE between two
+    jitted product chains (lengths lo/hi), the same differencing bench.py
+    uses — a single dispatch through the dev tunnel carries ~40 ms of RPC
+    latency, which drowns the ~0.1 ms differences between tiles (the
+    round-2 autotuner timed single dispatches and was picking from that
+    noise)."""
     import time
     kw, nw = (k + 31) // WORD_BITS, (n + 31) // WORD_BITS
     if candidates is None:
-        candidates = [(128, 64), (128, 128), (256, 64), (256, 128),
-                      (256, 256), (512, 128)]
+        candidates = [(128, 128), (256, 128), (384, 128), (512, 128),
+                      (256, 256)]
     a = jax.random.bits(jax.random.PRNGKey(0), (m, kw), dtype=jnp.uint32)
     b = jax.random.bits(jax.random.PRNGKey(1), (k, nw), dtype=jnp.uint32)
+    # a chain needs square-ish shapes to feed C back as A; otherwise fall
+    # back to repeated independent products (still amortizes RPC)
+    chainable = (m, kw) == (k, nw)
+    per_s = 2.0 * m * k * n  # bit-ops per product
+    lo = 2
+    # size hi so the whole chain stays ~0.2-1 s on chip (assume >=100T)
+    hi = lo + max(4, min(40, int(0.25e12 * 100 / max(per_s, 1))))
+
+    @functools.partial(jax.jit, static_argnames=("iters", "tm", "tnw"))
+    def chain(a, b, iters, tm, tnw):
+        x = a
+        for _ in range(iters):
+            c = gf2_mul_pallas(x, b, tm=tm, tnw=tnw)
+            # serial data dependence between links (without it XLA would
+            # CSE the repeated identical products into one)
+            x = c if chainable else (a ^ c[:1, :1])
+        return x[:8, :8]
+
     # dedupe by the tile the lowering clamp will actually run, and record
     # that effective tile, so the persisted cache never lies about what
     # was measured
@@ -217,18 +242,22 @@ def autotune(m: int, k: int, n: int, candidates=None, reps: int = 3):
             effective.append(eff)
     best, best_t = None, float("inf")
     for tm, tnw in effective:
-        def run(tm=tm, tnw=tnw):
-            jax.device_get(gf2_mul_pallas(a, b, tm=tm, tnw=tnw)[:8])
+        def run(iters, tm=tm, tnw=tnw):
+            jax.device_get(chain(a, b, iters, tm, tnw))
         try:
-            run()  # compile + warm; skip infeasible tilings
+            run(lo)  # compile + warm; skip infeasible tilings
+            run(hi)
         except Exception:
             continue
-        ts = []
+        slopes = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            run()
-            ts.append(time.perf_counter() - t0)
-        t = min(ts)
+            run(lo)
+            t1 = time.perf_counter()
+            run(hi)
+            t2 = time.perf_counter()
+            slopes.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
+        t = min(slopes)
         if t < best_t:
             best, best_t = (tm, tnw), t
     if best is not None:
