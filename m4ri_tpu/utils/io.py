@@ -81,7 +81,9 @@ def write_png(a: BitMatrix, path: str) -> None:
     dense = to_numpy(a)
     h, w = dense.shape
     row_bytes = np.packbits(1 - dense, axis=1)  # MSB-first per PNG spec
-    raw = b"".join(b"\x00" + row_bytes[i].tobytes() for i in range(h))
+    lines = np.zeros((h, row_bytes.shape[1] + 1), np.uint8)
+    lines[:, 1:] = row_bytes  # filter byte 0 (None) per scanline
+    raw = lines.tobytes()
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         return (struct.pack(">I", len(payload)) + tag + payload
@@ -115,17 +117,48 @@ def read_png(path: str) -> BitMatrix:
     if depth != 1 or color != 0:
         raise ValueError("only 1-bit grayscale PNGs are supported")
     raw = zlib.decompress(idat)
-    stride = (w + 7) // 8 + 1
-    rows = []
-    prev = np.zeros((w + 7) // 8, np.uint8)
-    for i in range(h):
-        line = raw[i * stride : (i + 1) * stride]
-        filt, body = line[0], np.frombuffer(line[1:], np.uint8).copy()
-        body = _png_unfilter(filt, body, prev)
-        prev = body
-        bits = np.unpackbits(body)[:w]
-        rows.append(1 - bits)
-    return from_numpy(np.stack(rows))
+    nb = (w + 7) // 8
+    lines = np.frombuffer(raw, np.uint8).reshape(h, nb + 1)
+    filt, body = lines[:, 0], lines[:, 1:].copy()
+    if np.all(filt <= 2):
+        out = _png_unfilter_rows_012(filt, body)
+    else:
+        # Average/Paeth scanlines (never emitted by libpng for sub-byte
+        # bit depths; kept for arbitrary writers) — per-row scalar path.
+        out = np.zeros_like(body)
+        prev = np.zeros(nb, np.uint8)
+        for i in range(h):
+            prev = out[i] = _png_unfilter(int(filt[i]), body[i], prev)
+    bits = np.unpackbits(out, axis=1)[:, :w]
+    return from_numpy(1 - bits)
+
+
+def _png_unfilter_rows_012(filt: np.ndarray, body: np.ndarray) -> np.ndarray:
+    """Vectorized unfilter for whole images using only filters
+    {0 None, 1 Sub, 2 Up} — the set libpng produces for 1-bit images.
+
+    Sub rows are an independent per-row prefix sum.  A run of Up rows is a
+    column-wise prefix sum anchored at the nearest non-Up row above (whose
+    value is final after the Sub pass, since filters 0/1 don't look up);
+    uint8 arithmetic wraps mod 256 exactly as the spec requires."""
+    h = body.shape[0]
+    sub = filt == 1
+    if sub.any():
+        body[sub] = np.cumsum(body[sub], axis=1, dtype=np.uint8)
+    up = filt == 2
+    if not up.any():
+        return body
+    # anchor[i] = last row <= i with filt != 2 (or -1 inside a leading run)
+    idx = np.arange(h)
+    anchor = np.maximum.accumulate(np.where(~up, idx, -1))
+    cs = np.cumsum(body, axis=0, dtype=np.uint8)  # wraps mod 256
+    a_idx = np.maximum(anchor, 0)
+    has_anchor = (anchor >= 0)[:, None]
+    run_sum = cs - np.where(has_anchor, cs[a_idx], 0).astype(np.uint8)
+    final_anchor = np.where(has_anchor, body[a_idx], 0).astype(np.uint8)
+    out = body.copy()
+    out[up] = (final_anchor + run_sum)[up]
+    return out
 
 
 def _png_unfilter(filt: int, body: np.ndarray, prev: np.ndarray) -> np.ndarray:

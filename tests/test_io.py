@@ -133,3 +133,43 @@ def test_png_all_filters(tmp_path):
     from m4ri_tpu.utils.io import read_png
     got = m4.to_numpy(read_png(str(path)))
     np.testing.assert_array_equal(got, bits)
+
+
+def test_png_vectorized_012_filters(tmp_path):
+    """The {None, Sub, Up} filter set takes the vectorized whole-image
+    unfilter (io._png_unfilter_rows_012); adversarial row patterns: a
+    leading Up run (no anchor), long Up runs, Sub rows anchoring Up runs."""
+    import struct
+    import zlib
+    rng = np.random.default_rng(23)
+    h, w = 37, 190
+    bits = (rng.random((h, w)) < 0.5).astype(np.uint8)
+    stride = (w + 7) // 8
+    # row filters: rows 0-3 Up (leading run), then mixed
+    filts = [2, 2, 2, 2] + [(0, 1, 2, 2, 2, 1, 2)[i % 7] for i in range(h - 4)]
+    raws = []
+    prev = np.zeros(stride, np.uint8)
+    for i in range(h):
+        body = np.packbits(1 - bits[i], axis=None)[:stride]
+        f = filts[i]
+        if f == 0:
+            enc = body
+        elif f == 1:  # Sub
+            enc = np.diff(body, prepend=np.uint8(0)).astype(np.uint8)
+        else:  # Up
+            enc = (body - prev).astype(np.uint8)
+        prev = body
+        raws.append(bytes([f]) + enc.tobytes())
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+           + chunk(b"IEND", b""))
+    path = tmp_path / "filters012.png"
+    path.write_bytes(png)
+    got = m4.to_numpy(io.read_png(str(path)))
+    np.testing.assert_array_equal(got, bits)
