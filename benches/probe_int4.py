@@ -42,23 +42,26 @@ def main():
     bits_b = jax.random.bernoulli(jax.random.PRNGKey(1), 0.5, (n, n))
     lo, hi = 2, 12
 
-    def bench(dt, name):
-        a = bits_a.astype(dt)
-        b = bits_b.astype(dt)
+    a8 = bits_a.astype(jnp.int8)
+    b8 = bits_b.astype(jnp.int8)
 
+    def bench(dt, name):
+        # cast INSIDE the jit: a top-level astype to int4 trips a
+        # "recursively calling jit" in the axon remote backend
         @functools.partial(jax.jit, static_argnames="iters")
         def chain(a, b, iters):
-            x = a
+            x = a.astype(dt)
+            bb = b.astype(dt)
             for _ in range(iters):
                 p = jax.lax.dot_general(
-                    x, b, (((1,), (0,)), ((), ())),
+                    x, bb, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
                 x = (p & 1).astype(dt)  # keep 0/1, serial dependence
             return p
 
         try:
             s = timed_slope(
-                lambda it: jax.device_get(chain(a, b, it)[:8, :8]), lo, hi)
+                lambda it: jax.device_get(chain(a8, b8, it)[:8, :8]), lo, hi)
             print(f"{name:12s} {s*1e3:9.3f} ms/product  "
                   f"{per/s/1e12:7.1f} Top/s", flush=True)
         except Exception as e:
@@ -72,17 +75,20 @@ def main():
         print("int4 unavailable:", e)
     bench(jnp.bfloat16, "bf16")
 
-    # correctness spot-check for int4 if it ran
+    # correctness spot-check for int4 if it ran (casts inside one jit)
     try:
-        sa = bits_a[:256, :512].astype(jnp.int4)
-        sb = bits_b[:512, :256].astype(jnp.int4)
-        p4 = jax.lax.dot_general(sa, sb, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.int32)
-        p8 = jax.lax.dot_general(bits_a[:256, :512].astype(jnp.int8),
-                                 bits_b[:512, :256].astype(jnp.int8),
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.int32)
-        print("int4 exact vs int8:", bool(jnp.all(p4 == p8)))
+        @jax.jit
+        def check(a, b):
+            sa, sb = a[:256, :512], b[:512, :256]
+            p4 = jax.lax.dot_general(
+                sa.astype(jnp.int4), sb.astype(jnp.int4),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            p8 = jax.lax.dot_general(
+                sa, sb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return jnp.all(p4 == p8)
+        print("int4 exact vs int8:", bool(jax.device_get(check(a8, b8))))
     except Exception as e:
         print("int4 correctness probe failed:", type(e).__name__,
               str(e)[:160])

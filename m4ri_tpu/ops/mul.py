@@ -102,16 +102,24 @@ def mul_packed_data(a_data: jnp.ndarray, b_data: jnp.ndarray,
     if (allow_pallas and cfg.use_pallas_schur and kw <= 32 and m >= 2048
             and nw >= 128 and jax.default_backend() == "tpu"):
         from .pallas_mul import gf2_mul_pallas
-        return gf2_mul_pallas(a_data, b_data)
+        return gf2_mul_pallas(a_data, b_data, op_dtype=cfg.pallas_op_dtype)
 
     # Large deep products likewise: XLA's single fused dot loses above
     # ~4096 (276 vs 386 Tbit-op/s at n=4096, 37 vs 375 at n=16384) and
-    # the blocked XLA path materializes unpacked operands.
+    # the blocked XLA path materializes unpacked operands.  Contractions
+    # spanning several 1024-bit chunks go through the v2 kernel, which
+    # unpacks each B chunk once per column group instead of once per row
+    # tile (617 vs 280 Tbit-op/s at n=4096, benches/probe_mul2.py).
     if (allow_pallas and cfg.use_pallas_big and m >= 2048 and nw >= 128
             and max(m, kp, nw * WORD_BITS) >= cfg.pallas_big_min
             and jax.default_backend() == "tpu"):
+        # v2 pays off once there is more than one chunk to re-unpack
+        if cfg.use_pallas_v2 and kw > 32:
+            from .pallas_mul2 import gf2_mul_pallas_v2
+            return gf2_mul_pallas_v2(a_data, b_data,
+                                     op_dtype=cfg.pallas_op_dtype)
         from .pallas_mul import gf2_mul_pallas
-        return gf2_mul_pallas(a_data, b_data)
+        return gf2_mul_pallas(a_data, b_data, op_dtype=cfg.pallas_op_dtype)
 
     def block_mul(a_blk, b_blk):
         a_u = unpack_bits(a_blk, dt)

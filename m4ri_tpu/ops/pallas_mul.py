@@ -65,7 +65,36 @@ def _pack_planes(bits, w):
     return out
 
 
-def _make_kernel(tm: int, tkw: int, tnw: int):
+def _plane_dot(a_chunk, ub, dt):
+    """MXU product of a word-transposed packed A chunk (tkw, tm) uint32
+    against an unpacked B chunk (tk, tn): returns int32 (tm, tn).
+
+    int8 contracts dimension 0 of both operands (the layout Mosaic lowers
+    natively).  int4 cannot: Mosaic has no i4 vector transpose, so the
+    transposed-LHS form is rejected ("Unsupported type in transpose") —
+    instead transpose the still-PACKED uint32 chunk (32-bit transposes are
+    supported) and unpack along axis 1, which lands the identical
+    plane-lane order s*tkw + w, then contract in standard layout."""
+    if dt == jnp.int4:
+        ua = _unpack_planes_ax1(a_chunk[:].T, dt)     # (tm, tk)
+        return jax.lax.dot_general(
+            ua, ub, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    ua_t = _unpack_planes_ax0(a_chunk[:], dt)         # (tk, tm)
+    return jax.lax.dot_general(
+        ua_t, ub, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+def _resolve_op_dtype(op_dtype: str, interpret: bool) -> str:
+    """Interpret mode runs on CPU XLA, which rejects int4 dots — execute
+    in int8 there (the kernels are bit-exact in either dtype)."""
+    if interpret and op_dtype == "int4":
+        return "int8"
+    return op_dtype
+
+
+def _make_kernel(tm: int, tkw: int, tnw: int, dt=jnp.int8):
     tk = tkw * WORD_BITS
     tn = tnw * WORD_BITS
 
@@ -103,11 +132,8 @@ def _make_kernel(tm: int, tkw: int, tnw: int):
 
             a_dma(slot, kb).wait()
             b_dma(slot, kb).wait()
-            ua_t = _unpack_planes_ax0(abuf[slot])   # (tk, tm) int8
-            ub = _unpack_planes_ax1(bbuf[slot])     # (tk, tn) int8
-            return acc + jax.lax.dot_general(
-                ua_t, ub, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+            ub = _unpack_planes_ax1(bbuf[slot], dt)     # (tk, tn)
+            return acc + _plane_dot(abuf[slot], ub, dt)
 
         acc = jax.lax.fori_loop(
             0, n_chunks, body, jnp.zeros((tm, tn), jnp.int32))
@@ -131,9 +157,10 @@ def _clamp_tiles(tm: int, tnw: int, nw: int) -> tuple[int, int]:
     return tm, tnw
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tkw", "tnw", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tm", "tkw", "tnw", "interpret",
+                                             "op_dtype"))
 def _mul_padded(at, bp, tm: int, tkw: int, tnw: int,
-                interpret: bool = False):
+                interpret: bool = False, op_dtype: str = "int8"):
     n_i, kw_pad, _ = at.shape
     n_j, k_pad, _ = bp.shape
     m = n_i * tm
@@ -141,7 +168,7 @@ def _mul_padded(at, bp, tm: int, tkw: int, tnw: int,
     tk = tkw * WORD_BITS
     grid = (m // tm, nw // tnw)
     return pl.pallas_call(
-        _make_kernel(tm, tkw, tnw),
+        _make_kernel(tm, tkw, tnw, getattr(jnp, op_dtype)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -156,7 +183,10 @@ def _mul_padded(at, bp, tm: int, tkw: int, tnw: int,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            # unpack intermediates can exceed the 16 MB default scoped-vmem
+            # cap (v5e has 128 MB VMEM)
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * (kw_pad * WORD_BITS) * (nw * WORD_BITS),
             bytes_accessed=(kw_pad * m + k_pad * nw + m * nw) * 4,
@@ -274,7 +304,8 @@ def autotune(m: int, k: int, n: int, candidates=None, reps: int = 3):
 
 def gf2_mul_pallas(a_data: jnp.ndarray, b_data: jnp.ndarray,
                    tm: int | None = None, tnw: int | None = None,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False,
+                   op_dtype: str = "int8") -> jnp.ndarray:
     """Packed GF(2) product C = A*B.  a: uint32[m, kw], b: uint32[k, nw]
     with k <= kw*32 (padding bits zero).  Returns uint32[m, nw].
 
@@ -290,6 +321,7 @@ def gf2_mul_pallas(a_data: jnp.ndarray, b_data: jnp.ndarray,
             tnw = tnw or int(hit[1])
         tm = tm or TM
         tnw = tnw or TNW
+    op_dtype = _resolve_op_dtype(op_dtype, interpret)
     if not interpret:
         tm, tnw = _clamp_tiles(tm, tnw, nw)
     # tkw must stay 8-sublane aligned: the kernel DMAs (tkw, tm) slices of
@@ -312,5 +344,5 @@ def gf2_mul_pallas(a_data: jnp.ndarray, b_data: jnp.ndarray,
     # i/j-tile both operands so the kernel's DMA chunks are contiguous.
     at3 = at.reshape(kw_pad, m_pad // tm, tm).swapaxes(0, 1)
     bp3 = bp.reshape(k_pad, nw_pad // tnw, tnw).swapaxes(0, 1)
-    out = _mul_padded(at3, bp3, tm, tkw, tnw, interpret)
+    out = _mul_padded(at3, bp3, tm, tkw, tnw, interpret, op_dtype)
     return out[:m, :nw]

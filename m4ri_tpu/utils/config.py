@@ -61,6 +61,17 @@ class Config:
     pallas_big_min: int = 4096
     # Strassen recursion depth cap (compile size grows 7^levels).
     strassen_max_levels: int = 2
+    # dtype of the unpacked operands inside the fused Pallas mul kernels.
+    # v5e's MXU runs int4 at ~2.2x the int8 rate (measured 820 vs 370
+    # Top/s, benches/probe_int4.py), and the GF(2) operands are 0/1 with
+    # exact int32 accumulation either way — int4 is bit-exact and ~40%
+    # faster end-to-end (v1: 390 vs 280 Tbit-op/s at n=4096).
+    pallas_op_dtype: str = "int4"
+    # Route deep contractions (more than two 1024-bit chunks) through the
+    # v2 kernel (ops/pallas_mul2.py), which unpacks each B chunk once per
+    # column group instead of once per row tile: measured 617 vs 280
+    # Tbit-op/s at n=4096 with int4 (benches/probe_mul2.py).
+    use_pallas_v2: bool = True
     # Run the panel pivot loop as a single VMEM-resident Mosaic kernel on
     # TPU (ops/pallas_panel.py) — the XLA lowering pays a ~2 us/column
     # fori_loop floor that dominates large factorizations.

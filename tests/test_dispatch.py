@@ -18,16 +18,23 @@ from conftest import random_dense
 
 def _spy_pallas(monkeypatch, calls):
     from m4ri_tpu.ops import mul as mulmod
-    from m4ri_tpu.ops import pallas_mul
+    from m4ri_tpu.ops import pallas_mul, pallas_mul2
 
     real = pallas_mul.gf2_mul_pallas
+    real2 = pallas_mul2.gf2_mul_pallas_v2
 
     def spy(a, b, **kw):
         calls.append(("pallas", a.shape, b.shape))
         kw["interpret"] = True
         return real(a, b, **kw)
 
+    def spy2(a, b, **kw):
+        calls.append(("pallas_v2", a.shape, b.shape))
+        kw["interpret"] = True
+        return real2(a, b, **kw)
+
     monkeypatch.setattr(pallas_mul, "gf2_mul_pallas", spy)
+    monkeypatch.setattr(pallas_mul2, "gf2_mul_pallas_v2", spy2)
     # the dispatch gates on the backend; pretend we are on TPU (the spy
     # forces interpret mode so the kernel still runs on CPU)
     monkeypatch.setattr(mulmod.jax, "default_backend", lambda: "tpu")
@@ -54,11 +61,36 @@ def test_dispatch_pallas_shallow_k(rng, monkeypatch):
 
 
 def test_dispatch_pallas_big_deep(rng, monkeypatch):
-    """Deep contraction above mul_block_threshold routes to the kernel."""
+    """Deep contraction above mul_block_threshold routes to the v2 kernel
+    (more than one 1024-bit chunk: unpack-B-once engine)."""
     cfg = Config(mul_block_threshold=1024, pallas_big_min=1024)
     a = random_dense(rng, 2048, 1056)
     b = random_dense(rng, 1056, 4096)
-    _check(a, b, cfg, True, monkeypatch)
+    calls = _spy_pallas(monkeypatch, [])
+    from m4ri_tpu.ops.mul import mul_packed_data
+    A, B = m4.from_numpy(a), m4.from_numpy(b)
+    out = mul_packed_data(A.data, B.data, cfg=cfg)
+    got = m4.to_numpy(m4.BitMatrix(out, b.shape[1]))
+    np.testing.assert_array_equal(got, oracle.mul(a, b))
+    assert calls and calls[0][0] == "pallas_v2", calls
+
+
+def test_dispatch_pallas_big_single_chunk(rng, monkeypatch):
+    """A deep-dispatch product whose contraction fits one chunk stays on
+    v1 (nothing to re-unpack; v2 would add C read-modify-write traffic)."""
+    # use_pallas_schur off so the big branch (not the shallow-k one)
+    # handles this single-chunk contraction
+    cfg = Config(mul_block_threshold=512, pallas_big_min=1024,
+                 use_pallas_schur=False)
+    a = random_dense(rng, 2048, 1024)
+    b = random_dense(rng, 1024, 4096)
+    calls = _spy_pallas(monkeypatch, [])
+    from m4ri_tpu.ops.mul import mul_packed_data
+    A, B = m4.from_numpy(a), m4.from_numpy(b)
+    out = mul_packed_data(A.data, B.data, cfg=cfg)
+    got = m4.to_numpy(m4.BitMatrix(out, b.shape[1]))
+    np.testing.assert_array_equal(got, oracle.mul(a, b))
+    assert calls and calls[0][0] == "pallas", calls
 
 
 def test_dispatch_fused_below_threshold(rng, monkeypatch):

@@ -336,3 +336,39 @@ def test_block_factor_schur_dyn_interpret(rng, monkeypatch):
     for g, w, what in zip(got, want, ["data", "P", "Q", "rank"]):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
                                       err_msg=what)
+
+
+def _mul2_case(rng, m, k, n, tm, tnw, interpret):
+    from m4ri_tpu.ops.pallas_mul2 import gf2_mul_pallas_v2
+    a = random_dense(rng, m, k)
+    b = random_dense(rng, k, n)
+    A, B = m4.from_numpy(a), m4.from_numpy(b)
+    out = gf2_mul_pallas_v2(A.data, B.data, tm=tm, tnw=tnw,
+                            interpret=interpret)
+    got = m4.to_numpy(m4.BitMatrix(out, n))
+    np.testing.assert_array_equal(got, oracle.mul(a, b),
+                                  err_msg=f"{m}x{k}x{n} tm={tm} tnw={tnw}")
+
+
+@pytest.mark.parametrize("m,k,n,tm,tnw", [
+    # multi-chunk contraction (KB = 2), single row tile (I = 1)
+    (256, 2048, 4096, 256, 128),
+    # I = 1: the drain must not wait a never-started second write-back
+    (128, 2048, 4096, 128, 128),
+    # multi-tile in every grid dimension, ragged edges + word padding
+    (300, 2100, 8200, 128, 128),
+    # single-chunk (KB = 1): the first-pass branch covers every tile
+    (512, 1000, 4096, 256, 128),
+])
+def test_pallas_mul2_interpret(rng, m, k, n, tm, tnw):
+    _mul2_case(rng, m, k, n, tm, tnw, interpret=True)
+
+
+@tpu_only
+def test_pallas_mul2_tpu(rng):
+    _mul2_case(rng, 512, 4096, 4096, 256, 128, interpret=False)
+
+
+@tpu_only
+def test_pallas_mul2_ragged_tpu(rng):
+    _mul2_case(rng, 300, 2100, 8200, 256, 128, interpret=False)
