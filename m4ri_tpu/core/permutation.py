@@ -155,10 +155,9 @@ def apply_p_right_trans_tri_seq(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
     return BitMatrix(data, m.ncols)
 
 
-def apply_p_right_trans_tri(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
-    """For i ascending: swap columns (i, v[i]) in rows [0, i) only
-    (reference: mzd_apply_p_right_trans_tri, mzp.c:279-292).  Moves pivot
-    columns onto the diagonal in the triangular region after PLE.
+def _trans_tri_rowchunk(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
+    """Row-chunked lane-gather implementation of trans_tri (see
+    apply_p_right_trans_tri for the semantics).
 
     Vectorized under the PLE-Q contract (v[i] >= i; at most one *real*
     swap — v[j] > j — targets any column, which holds for PLE's Q since
@@ -169,7 +168,12 @@ def apply_p_right_trans_tri(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
     chains are disjoint descending paths, and the per-row answer is
     ``orig[r, min(A[r, path(c)], c)]`` where A[r, T] = the smallest node
     of path T that is > r — built with one scatter plus a reverse
-    row-cummin instead of an n-step scalar loop."""
+    row-cummin instead of an n-step scalar loop.
+
+    The final per-row lane gather (take_along_axis axis=1) lowers to
+    per-element selects on TPU (~20 s at 32768^2, benches/probe_gather.py)
+    — production sizes use _trans_tri_banded instead; this stays as the
+    small-size path and as a second vectorized model for tests."""
     nrows, ncols = m.nrows, m.ncols
     n = min(ncols, v.shape[0])
     c = jnp.arange(ncols, dtype=jnp.int32)
@@ -224,3 +228,170 @@ def apply_p_right_trans_tri(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
     if packed.shape[1] < w:
         packed = jnp.pad(packed, ((0, 0), (0, w - packed.shape[1])))
     return mask_padding(BitMatrix(packed[:, :w], ncols))
+
+
+# rows per band in the banded trans_tri (8 packed words); module-level so
+# tests can shrink it to exercise multi-band seams on small matrices
+_TRANS_TRI_BAND = 256
+
+
+def _band_suffix_folds(w: jnp.ndarray) -> jnp.ndarray:
+    """All suffix folds of per-band slot-space swap sequences.
+
+    ``w`` is (B, 2h) int32 obeying the trans_tri contract per band
+    (w[p] >= p; at most one real step targets any slot; steps exist only
+    for p < h, higher slots are identity).  Returns src (B, h+1, 2h)
+    where src[b, 1+j, p] is the slot whose ORIGINAL content ends up in
+    slot p after applying steps j' > j ascending (band row j's view), and
+    src[b, 0] is the full fold over all band steps (the j = -1 row, used
+    to chain suffix permutations across bands).
+
+    Same path/reverse-cummin construction as _trans_tri_rowchunk, batched
+    over bands, with the extra leading row."""
+    import numpy as np
+
+    Bn, two_h = w.shape
+    h = two_h // 2
+    c = jnp.arange(two_h, dtype=jnp.int32)
+    bidx = jnp.arange(Bn, dtype=jnp.int32)[:, None]
+    real = w > c[None, :]
+    # pre[b, x] = the real step targeting slot x (unique per contract)
+    pre = jnp.full((Bn, two_h), -1, jnp.int32).at[
+        bidx, jnp.where(real, w, two_h)].max(
+        jnp.broadcast_to(c[None, :], w.shape), mode="drop")
+    f = jnp.where(pre >= 0, pre, c[None, :])
+    for _ in range(max(1, int(np.ceil(np.log2(max(two_h, 2)))))):
+        f = jnp.take_along_axis(f, f, axis=1)
+    pathid = f
+    # node y on a path activates rows j < y; with the leading j = -1 row
+    # (index 0) node y scatters at row index min(y, h).  Node values are
+    # step indices (< h), but scatter every slot — trivial slots form
+    # their own single-node path and reduce to the identity below.
+    sentinel = jnp.int32(2**31 - 1)
+    node_row = jnp.minimum(c, h)
+    B = jnp.full((Bn, h + 1, two_h), sentinel, jnp.int32).at[
+        bidx, jnp.broadcast_to(node_row[None, :], (Bn, two_h)),
+        pathid].min(jnp.broadcast_to(c[None, :], (Bn, two_h)))
+    A = jax.lax.cummin(B, axis=1, reverse=True)
+    # src[b, row, p]: row index 0 is j = -1
+    Ag = jnp.take_along_axis(
+        A, jnp.broadcast_to(pathid[:, None, :], A.shape), axis=2)
+    sel = jnp.minimum(Ag, c[None, None, :])
+    jrow = jnp.arange(-1, h, dtype=jnp.int32)[None, :, None]
+    return jnp.where(real[:, None, :] & (jrow < c[None, None, :]),
+                     jnp.broadcast_to(w[:, None, :], sel.shape), sel)
+
+
+def _trans_tri_banded(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
+    """Banded trans_tri: all heavy traffic is sublane-friendly.
+
+    Row r's result applies the swap suffix i > r; rows of a 256-row band
+    share every swap at or beyond the band end.  Split per band b
+    (rows [bh, bh+h)):
+
+        out[r] = mid[r][G_b]        (band-uniform column permutation)
+        mid[r] = in1[r][f_r]        (in-band suffix fold, support <= 2h)
+
+    The in-band folds touch only S_b = {i} u {v[i]} (2h slots), so they
+    are computed in slot space (_band_suffix_folds) and applied to a
+    (h, 2h) extract per band; the extract, the write-back, and the final
+    G gather all run in the TRANSPOSED packed domain, where the index
+    varies per (column, band) — a banded sublane gather that moves at
+    ~3 GB/s on v5e versus the per-element selects of a per-row lane
+    gather (~240x measured at 32768^2, benches/probe_gather.py)."""
+    from .transpose import transpose
+    h = _TRANS_TRI_BAND
+    nrows, ncols = m.nrows, m.ncols
+    n = min(ncols, v.shape[0])
+    r_rows = min(nrows, n)                  # rows swaps can touch
+    Br = max(1, -(-r_rows // h))            # row bands
+    Bs = max(Br, -(-n // h))                # step bands
+    n_pad = Bs * h
+    c_all = jnp.arange(ncols, dtype=jnp.int32)
+    v_ext = jnp.concatenate([v[:n].astype(jnp.int32),
+                             jnp.arange(n, n_pad, dtype=jnp.int32)])
+
+    # --- slot-space swap arrays: slot j < h is column bh+j; slot h+j is
+    # step j's out-of-band target (dummy when trivial or in-band) ---
+    base = (jnp.arange(Bs, dtype=jnp.int32) * h)[:, None]
+    jj = jnp.arange(h, dtype=jnp.int32)[None, :]
+    vb = v_ext.reshape(Bs, h)
+    in_band = vb < base + h
+    w_slots = jnp.concatenate(
+        [jnp.where(in_band, vb - base, h + jj),
+         jnp.broadcast_to(jnp.arange(h, 2 * h, dtype=jnp.int32)[None, :],
+                          (Bs, h))], axis=1)
+    # sb: global column id per slot; ncols marks an unused (dummy) slot
+    sb = jnp.concatenate(
+        [base + jj, jnp.where(in_band, jnp.int32(ncols), vb)], axis=1)
+    sb = jnp.where(sb < ncols, sb, jnp.int32(ncols))
+
+    src = _band_suffix_folds(w_slots)        # (Bs, h+1, 2h)
+    f_full = src[:, 0]                       # full band folds
+    src_rows = src[:Br, 1:]                  # (Br, h, 2h) per-row folds
+
+    # --- suffix permutations G_b = fold of steps >= (b+1)h, built from
+    # the full folds expanded to column-id maps (Bs cheap 1-D gathers) ---
+    src_cols = jnp.take_along_axis(sb, f_full, axis=1)  # content source ids
+    g_cur = c_all
+    g_list = [None] * Br
+    for b in range(Bs - 1, -1, -1):
+        if b < Br:
+            g_list[b] = g_cur
+        f_col = c_all.at[sb[b]].set(src_cols[b], mode="drop")
+        g_cur = f_col[g_cur]
+    gidx = jnp.stack(g_list, axis=1)         # (ncols, Br)
+
+    # --- transposed packed domain ---
+    xt = transpose(m).data                   # (ncols, ceil(nrows/32))
+    wr = xt.shape[1]
+    wr_band = Br * (h // WORD_BITS)
+    if wr_band > wr:
+        xt = jnp.pad(xt, ((0, 0), (0, wr_band - wr)))
+    xt3 = xt[:, :wr_band].reshape(ncols, Br, h // WORD_BITS)
+
+    # extract E[b, j, q] = in1[bh+j, sb[b, q]] via banded sublane gather
+    sbc = jnp.minimum(sb[:Br], ncols - 1)    # (Br, 2h); dummies unused
+    e_pk = jnp.take_along_axis(xt3, sbc.T[:, :, None], axis=0)  # (2h,Br,wb)
+    shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32)
+    e_bits = ((e_pk[:, :, :, None] >> shifts[None, None, None, :]) &
+              jnp.uint32(1)).astype(jnp.uint8)
+    e_bits = e_bits.reshape(2 * h, Br, h).transpose(1, 2, 0)  # (Br,h,2h)
+
+    corrected = jnp.take_along_axis(e_bits, src_rows, axis=2)  # (Br,h,2h)
+
+    # pack the corrected columns back to words (rows minor)
+    cpk = corrected.transpose(0, 2, 1).reshape(
+        Br, 2 * h, h // WORD_BITS, WORD_BITS).astype(jnp.uint32)
+    cpk = jnp.sum(cpk << shifts[None, None, None, :], axis=-1,
+                  dtype=jnp.uint32)                       # (Br, 2h, wb)
+
+    # write back (banded sublane scatter; dummy slots drop at index ncols)
+    mid3 = xt3.at[sb[:Br], jnp.arange(Br, dtype=jnp.int32)[:, None], :] \
+        .set(cpk, mode="drop")
+
+    # band-uniform suffix gather (the probe's formulation d)
+    out3 = jnp.take_along_axis(mid3, gidx[:, :, None], axis=0)
+
+    out_t = out3.reshape(ncols, wr_band)
+    if wr_band < wr:
+        out_t = jnp.concatenate([out_t, xt[:, wr_band:]], axis=1)
+    else:
+        out_t = out_t[:, :wr]
+    res = transpose(BitMatrix(out_t, nrows))
+    return mask_padding(BitMatrix(res.data, ncols))
+
+
+def apply_p_right_trans_tri(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
+    """For i ascending: swap columns (i, v[i]) in rows [0, i) only
+    (reference: mzd_apply_p_right_trans_tri, mzp.c:279-292).  Moves pivot
+    columns onto the diagonal in the triangular region after PLE.
+
+    Assumes the PLE-Q contract (v[i] >= i, at most one real swap targets
+    any column); arbitrary swap arrays go through
+    apply_p_right_trans_tri_seq.  Dispatches to the banded transposed
+    formulation at production sizes and the row-chunked lane-gather model
+    below it (both validated cell-exactly against the sequential model)."""
+    if min(m.nrows, m.ncols) >= 2 * _TRANS_TRI_BAND:
+        return _trans_tri_banded(m, v)
+    return _trans_tri_rowchunk(m, v)

@@ -234,6 +234,46 @@ def test_apply_p_right_trans_tri_matches_sequential(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_apply_p_right_trans_tri_banded(rng, monkeypatch):
+    """The banded transposed formulation (production path for large n)
+    must agree cell-exactly with the sequential oracle across band
+    seams: in-band chains, cross-band chains, out-of-band targets,
+    non-square shapes, and a short swap array."""
+    from m4ri_tpu.core import permutation as perm
+    monkeypatch.setattr(perm, "_TRANS_TRI_BAND", 32)  # multi-band at test n
+    cases = [(40, 40), (64, 40), (33, 70), (100, 100), (96, 200),
+             (200, 96), (130, 130)]
+    for (m_, n) in cases:
+        a = random_dense(rng, m_, n)
+        v = _random_ple_q(rng, n)
+        A = m4.from_numpy(a)
+        got = m4.to_numpy(perm._trans_tri_banded(A, jnp_arr(v)))
+        want = m4.to_numpy(perm.apply_p_right_trans_tri_seq(A, jnp_arr(v)))
+        np.testing.assert_array_equal(got, want, err_msg=f"{m_}x{n}")
+    # short v: columns beyond len(v) are target-only
+    a = random_dense(rng, 16, 24)
+    v = np.arange(10, dtype=np.int32)
+    v[2], v[7] = 18, 20
+    A = m4.from_numpy(a)
+    got = m4.to_numpy(perm._trans_tri_banded(A, jnp_arr(v)))
+    want = m4.to_numpy(perm.apply_p_right_trans_tri_seq(A, jnp_arr(v)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_apply_p_right_trans_tri_dispatch(rng, monkeypatch):
+    """The public op picks the banded path at production sizes and the
+    row-chunked path below; both must match the oracle at the seam."""
+    from m4ri_tpu.core import permutation as perm
+    monkeypatch.setattr(perm, "_TRANS_TRI_BAND", 32)
+    for m_, n in ((64, 64), (63, 70)):  # just at / below the 2-band gate
+        a = random_dense(rng, m_, n)
+        v = _random_ple_q(rng, n)
+        A = m4.from_numpy(a)
+        got = m4.to_numpy(perm.apply_p_right_trans_tri(A, jnp_arr(v)))
+        want = m4.to_numpy(perm.apply_p_right_trans_tri_seq(A, jnp_arr(v)))
+        np.testing.assert_array_equal(got, want, err_msg=f"{m_}x{n}")
+
+
 def test_apply_p_right_trans_tri_chunked(rng, monkeypatch):
     """The row-chunked cummin (memory bound for big-n pluq) must agree
     with the sequential oracle across chunk boundaries and carry."""
