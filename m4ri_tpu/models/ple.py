@@ -177,18 +177,23 @@ def run_panel_loop(panel_words, r, base, t, r_in, m: int, nb: int,
 @functools.partial(jax.jit, static_argnames=("m", "n", "nb", "preserve_l",
                                              "search_window", "window",
                                              "engine", "use_post",
-                                             "col_skip", "dyn_skip"))
+                                             "col_skip", "dyn_skip",
+                                             "op_dtype", "agg"))
 def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
                        search_window: int = 0, window: int = 0,
                        engine: str = "xla", use_post: bool = True,
-                       col_skip: bool = True, dyn_skip: bool = False):
+                       col_skip: bool = True, dyn_skip: bool = False,
+                       op_dtype: str = "int8", agg: int = 1):
     nbw = nb // WORD_BITS
     W = window
     assert W >= nb + search_window, (W, nb, search_window)
     # rounded to the Schur kernel's preferred row tile; the extra all-zero
     # rows can never pivot (pos < m guards) so every engine is unaffected
     m_pad = _round_up(_round_up(m, nb) + W, 256)
-    n_pad = _round_up(n, nb)
+    # block-aggregated mode pads the column count to whole blocks; the
+    # all-zero pad panels cost one cheap window sweep each and rank 0
+    agg_eff = max(1, min(agg, -(-n // nb)))
+    n_pad = _round_up(n, agg_eff * nb)
     w_pad = n_pad // WORD_BITS
     n_panels = n_pad // nb
 
@@ -209,8 +214,12 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
         return run_panel_loop(panel_words, r, base, t, r_in, m, nb,
                               preserve_l, search_window, engine)
 
-    def panel(carry, t):
-        A, P, Q, r = carry
+    def panel_commit(A, P, Q, r, t):
+        """Shared per-panel factorization through the in-place commit:
+        window pivot loop, below-window elimination, miss fallback, P/Q
+        records, row swaps, and the panel words written back into A.
+        Returns (A, P, Q, r, Lpw, r_in, srcp, dstp) — the Schur tail
+        differs between the flat and the block-aggregated sweeps."""
         r_in = r
         c0w = t * nbw
         Xw = lax.dynamic_slice(A, (0, c0w), (m_pad, nbw))  # stale panel words
@@ -322,6 +331,12 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
         moved = A[srcp]
         A = A.at[dstp].set(moved, mode="drop")
         A = lax.dynamic_update_slice(A, panel_full, (0, c0w))
+        return A, P, Q, r, Lpw, r_in, srcp, dstp
+
+    def panel(carry, t):
+        A, P, Q, r = carry
+        A, P, Q, r, Lpw, r_in, _, _ = panel_commit(A, P, Q, r, t)
+        rank_panel = r - r_in
 
         # --- U rows of this panel via nilpotent inversion of L11 ---
         l11 = unpack_bits(
@@ -368,7 +383,8 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
                 # AND factored column tiles (no lax.switch instances)
                 A = gf2_schur_update_dyn(A, Lpw, up, r_in, (t + 1) * nbw,
                                          tm=256, tnw=tnw_s,
-                                         interpret=interp)
+                                         interpret=interp,
+                                         op_dtype=op_dtype)
             elif cskip:
                 ppt = tnw_s * WORD_BITS // nb  # panels per column tile
 
@@ -380,7 +396,7 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
                         return gf2_schur_update(
                             A_, lp_, up_, r0_, (t_ + 1) * nbw,
                             tm=256, tnw=tnw_s, col_tile_skip=g,
-                            interpret=interp)
+                            interpret=interp, op_dtype=op_dtype)
                     return f
 
                 A = lax.switch(jnp.minimum(t // ppt, ngr - 1),
@@ -388,13 +404,112 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
                                (A, Lpw, up, r_in, t))
             else:
                 A = gf2_schur_update(A, Lpw, up, r_in, (t + 1) * nbw,
-                                     interpret=interp)
+                                     interpret=interp, op_dtype=op_dtype)
         else:
             A = A ^ mul_packed_data(Lpw, up)
         return (A, P, Q, r), None
 
+    if agg_eff <= 1:
+        (A, P, Q, r), _ = lax.scan(
+            panel, (A, P, Q, jnp.int32(0)),
+            jnp.arange(n_panels, dtype=jnp.int32))
+        return A[:m, : data.shape[1]], P[:m], Q[:n], r
+
+    # ---- two-level block-aggregated sweep (reference analogue: the
+    # PLE recursion updating only the trailing quadrant, ple.c:122-127).
+    # Per-panel Schur updates touch only the current agg_eff-panel column
+    # slab; each block then applies ONE deep aggregated update
+    # A ^= L_blk @ U_blk to the trailing columns, which runs at the deep-
+    # contraction kernel rate instead of the shallow per-panel rate, and
+    # simultaneously converts the block's factored rows to U in place
+    # (X ^ N@U = U for the strictly-lower multiplier matrix N). ----
+    knbw = agg_eff * nbw
+    knb = agg_eff * nb
+    n_blocks = n_panels // agg_eff
+    loc_widx = jnp.arange(knbw, dtype=jnp.int32)
+
+    def block(carry, blk):
+        A, P, Q, r = carry
+        r0_blk = r
+        blk_c0w = blk * knbw
+
+        def panel_inner(icarry, sl):
+            A, P, Q, r, Lblk, Ublk = icarry
+            t = blk * agg_eff + sl
+            A, P, Q, r, Lpw, r_in, srcp, dstp = panel_commit(A, P, Q, r, t)
+            rank_panel = r - r_in
+            # the block L store sees the same row swaps as A
+            Lblk = Lblk.at[dstp].set(Lblk[srcp], mode="drop")
+            Lblk = lax.dynamic_update_slice(Lblk, Lpw, (0, sl * nbw))
+
+            # --- full-width U rows: the panel rows' block columns are
+            # current (previous in-block Schur updates reached them) but
+            # their trailing columns are stale — correct with the block's
+            # accumulated U (Ublk is stored trailing-masked), then solve
+            # the panel's unit-lower L11 via the nilpotent series ---
+            rows_full = lax.dynamic_slice(A, (r_in, 0), (nb, w_pad))
+            lam_rows = lax.dynamic_slice(Lblk, (r_in, 0), (nb, knbw))
+            l11 = unpack_bits(
+                lax.dynamic_slice(Lpw, (r_in, 0), (nb, nbw)), jnp.int8)
+            sinv = _unit_upper_inv(l11, eye_nb, steps)
+            if engine in ("pallas", "pallas_interpret"):
+                from ..ops.pallas_mul import gf2_mul_pallas
+                interp = engine == "pallas_interpret"
+                corr = gf2_mul_pallas(lam_rows, Ublk, interpret=interp)
+                up_full = gf2_mul_pallas(pack_bits(sinv), rows_full ^ corr,
+                                         interpret=interp)
+            else:
+                corr = mul_packed_data(lam_rows, Ublk)
+                xu = unpack_bits(rows_full ^ corr, jnp.int8)
+                u = (lax.dot_general(sinv, xu, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32) & 1)
+                up_full = pack_bits(u)
+            up_full = up_full * (jrow < rank_panel)[:, None].astype(
+                jnp.uint32)
+
+            # in-block part feeds this panel's slab Schur update
+            up_local = lax.dynamic_slice(up_full, (0, blk_c0w), (nb, knbw))
+            up_local = up_local * (loc_widx >= (sl + 1) * nbw)[
+                None, :].astype(jnp.uint32)
+            # block-trailing part accumulates into the aggregated U
+            Ublk = lax.dynamic_update_slice(
+                Ublk,
+                up_full * (widx >= (blk + 1) * knbw)[None, :].astype(
+                    jnp.uint32),
+                (sl * nb, 0))
+
+            # --- Schur update restricted to the block slab ---
+            A_blk = lax.dynamic_slice(A, (0, blk_c0w), (m_pad, knbw))
+            if engine in ("pallas", "pallas_interpret"):
+                from ..ops.pallas_schur import gf2_schur_update
+                A_blk = gf2_schur_update(
+                    A_blk, Lpw, up_local, r_in, (sl + 1) * nbw,
+                    interpret=(engine == "pallas_interpret"),
+                    op_dtype=op_dtype)
+            else:
+                A_blk = A_blk ^ mul_packed_data(Lpw, up_local)
+            A = lax.dynamic_update_slice(A, A_blk, (0, blk_c0w))
+            return (A, P, Q, r, Lblk, Ublk), None
+
+        Lblk0 = jnp.zeros((m_pad, knbw), jnp.uint32)
+        Ublk0 = jnp.zeros((knb, w_pad), jnp.uint32)
+        (A, P, Q, r, Lblk, Ublk), _ = lax.scan(
+            panel_inner, (A, P, Q, r, Lblk0, Ublk0),
+            jnp.arange(agg_eff, dtype=jnp.int32))
+
+        # --- aggregated trailing update at the deep-contraction rate ---
+        if engine in ("pallas", "pallas_interpret"):
+            from ..ops.pallas_schur import gf2_schur_update
+            A = gf2_schur_update(A, Lblk, Ublk, r0_blk, (blk + 1) * knbw,
+                                 interpret=(engine == "pallas_interpret"),
+                                 op_dtype=op_dtype)
+        else:
+            A = A ^ mul_packed_data(Lblk, Ublk)
+        return (A, P, Q, r), None
+
     (A, P, Q, r), _ = lax.scan(
-        panel, (A, P, Q, jnp.int32(0)), jnp.arange(n_panels, dtype=jnp.int32))
+        block, (A, P, Q, jnp.int32(0)),
+        jnp.arange(n_blocks, dtype=jnp.int32))
     return A[:m, : data.shape[1]], P[:m], Q[:n], r
 
 
@@ -426,7 +541,7 @@ def block_factor(a: BitMatrix, preserve_l: bool, nb: int | None = None,
     data, p, q, r = _block_factor_impl(
         a.data, a.nrows, a.ncols, nb, preserve_l, search_window, window,
         engine, cfg.use_pallas_panel_post, cfg.schur_col_skip,
-        cfg.schur_dyn)
+        cfg.schur_dyn, cfg.schur_op_dtype, cfg.ple_block_panels)
     return data, p, q, r
 
 

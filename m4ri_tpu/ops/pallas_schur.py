@@ -37,12 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.config import WORD_BITS
-from .pallas_mul import _pack_planes, _unpack_planes_ax0, _unpack_planes_ax1
+from .pallas_mul import (_pack_planes, _plane_dot, _resolve_op_dtype,
+                         _unpack_planes_ax1)
 
 __all__ = ["gf2_schur_update", "gf2_schur_update_dyn"]
 
 
-def _make_kernel(tm: int, tkw: int, tnw: int, j0: int = 0):
+def _make_kernel(tm: int, tkw: int, tnw: int, j0: int = 0, dt=jnp.int8):
     tk = tkw * WORD_BITS
 
     def _kernel(bounds, c_in, at_hbm, bp_hbm, o_ref, ub_ref, abuf, bbuf,
@@ -60,7 +61,7 @@ def _make_kernel(tm: int, tkw: int, tnw: int, j0: int = 0):
             cp = pltpu.make_async_copy(bp_hbm.at[j], bbuf, sems.at[0])
             cp.start()
             cp.wait()
-            ub_ref[:] = _unpack_planes_ax1(bbuf[:])
+            ub_ref[:] = _unpack_planes_ax1(bbuf[:], dt)
 
         # default: pass the C tile through unchanged
         o_ref[:] = c_in[:]
@@ -70,19 +71,18 @@ def _make_kernel(tm: int, tkw: int, tnw: int, j0: int = 0):
             cp = pltpu.make_async_copy(at_hbm.at[i], abuf, sems.at[1])
             cp.start()
             cp.wait()
-            ua_t = _unpack_planes_ax0(abuf[:])          # (tk, tm) int8
-            acc = jax.lax.dot_general(
-                ua_t, ub_ref[:], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+            acc = _plane_dot(abuf[:], ub_ref[:], dt)
             o_ref[:] = c_in[:] ^ _pack_planes(acc & 1, tnw)
 
     return _kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tm", "tkw", "tnw", "j0", "interpret"))
+                   static_argnames=("tm", "tkw", "tnw", "j0", "interpret",
+                                    "op_dtype"))
 def _schur_padded(bounds, c, at3, bp3, tm: int, tkw: int, tnw: int,
-                  j0: int = 0, interpret: bool = False):
+                  j0: int = 0, interpret: bool = False,
+                  op_dtype: str = "int8"):
     m, nw = c.shape
     tk = tkw * WORD_BITS
     tn = tnw * WORD_BITS
@@ -91,7 +91,7 @@ def _schur_padded(bounds, c, at3, bp3, tm: int, tkw: int, tnw: int,
     # aliasing, their data stays put without being streamed at all.
     grid = (nw // tnw - j0, m // tm)  # j outer, i fastest (U-cache/column)
     return pl.pallas_call(
-        _make_kernel(tm, tkw, tnw, j0),
+        _make_kernel(tm, tkw, tnw, j0, getattr(jnp, op_dtype)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -108,13 +108,14 @@ def _schur_padded(bounds, c, at3, bp3, tm: int, tkw: int, tnw: int,
         # full-size output allocation + copy per panel inside the scan.
         input_output_aliases={1: 0},
         scratch_shapes=[
-            pltpu.VMEM((tk, tn), jnp.int8),      # unpacked-U cache
+            pltpu.VMEM((tk, tn), getattr(jnp, op_dtype)),  # unpacked-U cache
             pltpu.VMEM((tkw, tm), jnp.uint32),   # L chunk
             pltpu.VMEM((tk, tnw), jnp.uint32),   # packed-U chunk
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * tk * (nw * WORD_BITS),
             bytes_accessed=(tkw * m + tk * nw + 2 * m * nw) * 4,
@@ -123,7 +124,8 @@ def _schur_padded(bounds, c, at3, bp3, tm: int, tkw: int, tnw: int,
     )(bounds, c, at3, bp3)
 
 
-def _make_dyn_kernel(tm: int, tkw: int, tnw: int, I: int, J: int):
+def _make_dyn_kernel(tm: int, tkw: int, tnw: int, I: int, J: int,
+                     dt=jnp.int8):
     """Single-instance fully-dynamic tile skipping: instead of a static
     j0 per compiled instance (lax.switch in models/ple.py) the kernel
     runs ONE hand-rolled software pipeline whose trip count derives from
@@ -180,7 +182,7 @@ def _make_dyn_kernel(tm: int, tkw: int, tnw: int, I: int, J: int):
             def _():
                 pltpu.make_async_copy(bp_hbm.at[j], ubuf.at[colp],
                                       ui_sem.at[colp]).wait()
-                ub_ref[:] = _unpack_planes_ax1(ubuf[colp])
+                ub_ref[:] = _unpack_planes_ax1(ubuf[colp], dt)
 
                 @pl.when(jr + 1 < n_j)
                 def _():
@@ -193,10 +195,7 @@ def _make_dyn_kernel(tm: int, tkw: int, tnw: int, I: int, J: int):
             pltpu.make_async_copy(at_hbm.at[i], abuf.at[slot],
                                   ai_sem.at[slot]).wait()
 
-            ua_t = _unpack_planes_ax0(abuf[slot])        # (tk, tm) int8
-            acc = jax.lax.dot_general(
-                ua_t, ub_ref[:], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+            acc = _plane_dot(abuf[slot], ub_ref[:], dt)
 
             # This slot's previous write-back (step s-2) already landed:
             # the prefetch branch of step s-1 drained co_sem[slot] BEFORE
@@ -245,15 +244,16 @@ def _make_dyn_kernel(tm: int, tkw: int, tnw: int, I: int, J: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tm", "tkw", "tnw", "interpret"))
+                   static_argnames=("tm", "tkw", "tnw", "interpret",
+                                    "op_dtype"))
 def _schur_dyn_padded(bounds, c, at3, bp3, tm: int, tkw: int, tnw: int,
-                      interpret: bool = False):
+                      interpret: bool = False, op_dtype: str = "int8"):
     m, nw = c.shape
     tk = tkw * WORD_BITS
     tn = tnw * WORD_BITS
     I, J = m // tm, nw // tnw
     return pl.pallas_call(
-        _make_dyn_kernel(tm, tkw, tnw, I, J),
+        _make_dyn_kernel(tm, tkw, tnw, I, J, getattr(jnp, op_dtype)),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -268,12 +268,14 @@ def _schur_dyn_padded(bounds, c, at3, bp3, tm: int, tkw: int, tnw: int,
             pltpu.VMEM((2, tm, tnw), jnp.uint32),   # C tile double buffer
             pltpu.VMEM((2, tkw, tm), jnp.uint32),   # L chunk double buffer
             pltpu.VMEM((2, tk, tnw), jnp.uint32),   # packed-U double buffer
-            pltpu.VMEM((tk, tn), jnp.int8),         # unpacked-U column cache
+            pltpu.VMEM((tk, tn), getattr(jnp, op_dtype)),  # unpacked-U cache
             pltpu.SemaphoreType.DMA((2,)),          # C in
             pltpu.SemaphoreType.DMA((2,)),          # L in
             pltpu.SemaphoreType.DMA((2,)),          # U in
             pltpu.SemaphoreType.DMA((2,)),          # C out
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * tk * (nw * WORD_BITS),
             bytes_accessed=(tkw * m + tk * nw + 2 * m * nw) * 4,
@@ -285,7 +287,8 @@ def _schur_dyn_padded(bounds, c, at3, bp3, tm: int, tkw: int, tnw: int,
 def gf2_schur_update_dyn(c_data: jnp.ndarray, lp_data: jnp.ndarray,
                          up_data: jnp.ndarray, r0, c0w,
                          tm: int = 256, tnw: int = 128,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         op_dtype: str = "int8") -> jnp.ndarray:
     """Fully-dynamic variant of gf2_schur_update: same contract (lp rows
     above r0 zero, up columns left of word c0w zero), but the inactive
     tiles are skipped from one compiled kernel via a dynamically-bounded
@@ -309,7 +312,8 @@ def gf2_schur_update_dyn(c_data: jnp.ndarray, lp_data: jnp.ndarray,
     bounds = jnp.stack([jnp.asarray(r0, jnp.int32),
                         jnp.asarray(c0w, jnp.int32)])
     return _schur_dyn_padded(bounds, c_data, at3, bp3, tm, tkw, tnw,
-                             interpret)
+                             interpret, _resolve_op_dtype(op_dtype,
+                                                          interpret))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -330,7 +334,8 @@ def gf2_schur_update(c_data: jnp.ndarray, lp_data: jnp.ndarray,
                      up_data: jnp.ndarray, r0, c0w,
                      tm: int | None = None, tnw: int | None = None,
                      col_tile_skip: int = 0,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     op_dtype: str = "int8") -> jnp.ndarray:
     """Packed GF(2) fused update ``C ^ Lp @ Up`` with dynamic tile bounds.
 
     c: uint32[m, nw];  lp: uint32[m, kw];  up: uint32[k, nw], k <= kw*32.
@@ -398,7 +403,8 @@ def gf2_schur_update(c_data: jnp.ndarray, lp_data: jnp.ndarray,
     assert 0 <= col_tile_skip < nw // tnw or col_tile_skip == 0, \
         (col_tile_skip, nw, tnw)
     out = _schur_padded(bounds, c_data, at3, bp3, tm, tkw, tnw,
-                        col_tile_skip, interpret)
+                        col_tile_skip, interpret,
+                        _resolve_op_dtype(op_dtype, interpret))
     if (m_in, nw_in) != (m, nw):
         out = out[:m_in, :nw_in]
     return out

@@ -72,6 +72,23 @@ class Config:
     # column group instead of once per row tile: measured 617 vs 280
     # Tbit-op/s at n=4096 with int4 (benches/probe_mul2.py).
     use_pallas_v2: bool = True
+    # Panels per aggregated block in the PLE sweep (reference analogue:
+    # the PLE recursion updating only the trailing quadrant,
+    # ple.c:122-127).  Per-panel Schur updates touch only the current
+    # block's column slab; one deep aggregated update per block carries
+    # the trailing columns at the deep-contraction kernel rate.
+    # Measured at 32768 the flat sweep still wins (0.279 s vs 0.313 s at
+    # the best block size — the per-panel correction products and slab
+    # copies outweigh the rate gain), so the default stays 1 (flat,
+    # full-width per-panel updates); the blocked path is bit-identical
+    # and available via M4RI_TPU_PLE_BLOCK_PANELS for larger n.
+    ple_block_panels: int = 1
+    # dtype inside the fused Schur-update kernel (the panel
+    # factorization's k = panel-width products).  Shallow contractions
+    # are unpack-bound, not MXU-bound, and int4's extra packed-A
+    # transpose makes it a slight net loss there (PLE 32768: 0.287 s
+    # int4 vs 0.279 s int8 measured) — int8 by default.
+    schur_op_dtype: str = "int8"
     # Run the panel pivot loop as a single VMEM-resident Mosaic kernel on
     # TPU (ops/pallas_panel.py) — the XLA lowering pays a ~2 us/column
     # fori_loop floor that dominates large factorizations.

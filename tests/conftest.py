@@ -23,6 +23,28 @@ import numpy as np
 import pytest
 
 
+_MODULE_SEEN = set()
+
+
+@pytest.fixture(autouse=True)
+def _bound_jit_cache(request):
+    """Drop compiled executables at every module boundary.
+
+    The suite compiles thousands of unique-shape programs in one process;
+    letting them all stay live has produced nondeterministic XLA-CPU
+    compiler segfaults late in the run (LLVM JIT resource exhaustion —
+    the crash moves with test-collection order and never reproduces in
+    isolation).  Clearing per module caps the live-executable count at
+    the cost of recompiling the handful of shapes shared across
+    modules."""
+    mod = request.module.__name__
+    if mod not in _MODULE_SEEN:
+        _MODULE_SEEN.add(mod)
+        import jax
+        jax.clear_caches()
+    yield
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(17)

@@ -234,6 +234,36 @@ def test_apply_p_right_trans_tri_matches_sequential(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("engine", ["xla", "pallas_interpret"])
+def test_block_factor_aggregated_bit_identical(rng, engine):
+    """The two-level block-aggregated sweep (per-panel updates restricted
+    to the block slab + one deep aggregated trailing update per block)
+    must be BIT-identical to the flat sweep — same canonical pivots,
+    same P/Q, same in-place L/E layout — across block seams, ragged
+    blocks, rank deficiency, and non-square shapes."""
+    from m4ri_tpu.models.ple import _block_factor_impl
+    nb = 64
+    cases = [(300, 300, False), (200, 520, False), (520, 200, False),
+             (300, 300, True)]
+    for (m_, n, low_rank) in cases:
+        a = random_dense(rng, m_, n)
+        if low_rank:
+            k = min(m_, n) // 3
+            b = random_dense(rng, m_, k)
+            c = random_dense(rng, k, n)
+            a = (b.astype(np.int64) @ c.astype(np.int64) % 2).astype(np.uint8)
+        A = m4.from_numpy(a)
+        ref = _block_factor_impl(A.data, m_, n, nb, True, 0, 128,
+                                 engine, True, True, False, "int8", 1)
+        for agg in (2, 3):
+            got = _block_factor_impl(A.data, m_, n, nb, True, 0, 128,
+                                     engine, True, True, False, "int8", agg)
+            for name, x, y in zip("dPQr", ref, got):
+                np.testing.assert_array_equal(
+                    np.asarray(x), np.asarray(y),
+                    err_msg=f"{m_}x{n} lr={low_rank} agg={agg} {name}")
+
+
 def test_apply_p_right_trans_tri_banded(rng, monkeypatch):
     """The banded transposed formulation (production path for large n)
     must agree cell-exactly with the sequential oracle across band
