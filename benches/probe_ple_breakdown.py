@@ -26,6 +26,10 @@ import jax.numpy as jnp
 
 
 def timeit(fn, reps=4):
+    # block_factor's impl is a module-level jax.jit: without clearing the
+    # trace cache a monkeypatched stage would never be retraced and every
+    # variant would re-run the originally compiled program
+    jax.clear_caches()
     fn()  # compile + warm
     ts = []
     for _ in range(reps):
@@ -82,17 +86,51 @@ def main():
     print(f"-schur-upanel-post: {results['-schur-upanel-post']:.4f} s",
           flush=True)
 
+    orig_swaps = ple_mod._apply_row_swaps
+    ple_mod._apply_row_swaps = lambda A, s, d: A
+    results["-rowswap"] = timeit(run)
+    print(f"-rowswap: {results['-rowswap']:.4f} s", flush=True)
+
+    orig_write = ple_mod._write_panel_cols
+    ple_mod._write_panel_cols = lambda A, p, c: A
+    results["-writepanel"] = timeit(run)
+    print(f"-writepanel: {results['-writepanel']:.4f} s", flush=True)
+
+    from m4ri_tpu.ops import pallas_panel
+    orig_loop = pallas_panel.panel_loop
+    def stub_loop(AL0, r, base, m_, nb=256, preserve_l=True,
+                  search_window=0, interpret=False):
+        h = AL0.shape[0]
+        return (AL0, jnp.arange(h, dtype=jnp.int32), r + nb,
+                jnp.zeros((2 * nb,), jnp.int32),
+                jnp.zeros((nb,), jnp.int32), jnp.zeros((nb,), jnp.int32))
+    pallas_panel.panel_loop = stub_loop
+    results["-pivot"] = timeit(run)
+    print(f"-pivot: {results['-pivot']:.4f} s", flush=True)
+
+    orig_inv = ple_mod._unit_upper_inv
+    ple_mod._unit_upper_inv = lambda nilp, eye, steps: eye ^ nilp
+    results["-unitinv"] = timeit(run)
+    print(f"-unitinv: {results['-unitinv']:.4f} s", flush=True)
+    ple_mod._unit_upper_inv = orig_inv
+
     pallas_schur.gf2_schur_update = orig_schur
     pallas_schur.gf2_schur_update_dyn = orig_dyn
     pallas_mul.gf2_mul_pallas = orig_mul
     pallas_post.panel_post = orig_post
+    ple_mod._apply_row_swaps = orig_swaps
+    ple_mod._write_panel_cols = orig_write
+    pallas_panel.panel_loop = orig_loop
 
     print("\nattribution:")
     print(f"  schur   {results['full'] - results['-schur']:.4f} s")
     print(f"  upanel  {results['-schur'] - results['-schur-upanel']:.4f} s")
     print(f"  post    {results['-schur-upanel'] - results['-schur-upanel-post']:.4f} s")
-    print(f"  floor   {results['-schur-upanel-post']:.4f} s "
-          f"(pivot kernel + window/permute/glue)")
+    print(f"  rowswap {results['-schur-upanel-post'] - results['-rowswap']:.4f} s")
+    print(f"  writepn {results['-rowswap'] - results['-writepanel']:.4f} s")
+    print(f"  pivot   {results['-writepanel'] - results['-pivot']:.4f} s")
+    print(f"  unitinv {results['-pivot'] - results['-unitinv']:.4f} s")
+    print(f"  floor   {results['-unitinv']:.4f} s (slices + scan glue)")
 
 
 if __name__ == "__main__":

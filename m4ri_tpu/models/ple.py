@@ -174,6 +174,18 @@ def run_panel_loop(panel_words, r, base, t, r_in, m: int, nb: int,
         st0)
 
 
+def _apply_row_swaps(A, srcp, dstp):
+    """Move the <= 2*nb rows a panel's swaps touched (gather + scatter);
+    module-level so the breakdown probe can stub it."""
+    moved = A[srcp]
+    return A.at[dstp].set(moved, mode="drop")
+
+
+def _write_panel_cols(A, panel_full, c0w):
+    """Write the factored panel words back at lane offset c0w."""
+    return lax.dynamic_update_slice(A, panel_full, (0, c0w))
+
+
 @functools.partial(jax.jit, static_argnames=("m", "n", "nb", "preserve_l",
                                              "search_window", "window",
                                              "engine", "use_post",
@@ -328,9 +340,8 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
 
         # apply the row permutation to the rest of A: only the swap
         # endpoints moved (<= 2*nb rows), so gather/scatter just those
-        moved = A[srcp]
-        A = A.at[dstp].set(moved, mode="drop")
-        A = lax.dynamic_update_slice(A, panel_full, (0, c0w))
+        A = _apply_row_swaps(A, srcp, dstp)
+        A = _write_panel_cols(A, panel_full, c0w)
         return A, P, Q, r, Lpw, r_in, srcp, dstp
 
     def panel(carry, t):
@@ -455,9 +466,11 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
             if engine in ("pallas", "pallas_interpret"):
                 from ..ops.pallas_mul import gf2_mul_pallas
                 interp = engine == "pallas_interpret"
-                corr = gf2_mul_pallas(lam_rows, Ublk, interpret=interp)
+                corr = gf2_mul_pallas(lam_rows, Ublk, interpret=interp,
+                                      op_dtype=op_dtype)
                 up_full = gf2_mul_pallas(pack_bits(sinv), rows_full ^ corr,
-                                         interpret=interp)
+                                         interpret=interp,
+                                         op_dtype=op_dtype)
             else:
                 corr = mul_packed_data(lam_rows, Ublk)
                 xu = unpack_bits(rows_full ^ corr, jnp.int8)

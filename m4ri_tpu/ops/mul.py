@@ -114,8 +114,8 @@ def mul_packed_data(a_data: jnp.ndarray, b_data: jnp.ndarray,
             and max(m, kp, nw * WORD_BITS) >= cfg.pallas_big_min
             and jax.default_backend() == "tpu"):
         # v2 pays off once there is more than one chunk to re-unpack
-        if cfg.use_pallas_v2 and kw > 32:
-            from .pallas_mul2 import gf2_mul_pallas_v2
+        from .pallas_mul2 import TKW2, gf2_mul_pallas_v2
+        if cfg.use_pallas_v2 and kw > TKW2:
             return gf2_mul_pallas_v2(a_data, b_data,
                                      op_dtype=cfg.pallas_op_dtype)
         from .pallas_mul import gf2_mul_pallas

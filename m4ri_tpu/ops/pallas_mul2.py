@@ -42,7 +42,7 @@ from ..utils.config import WORD_BITS
 from .pallas_mul import (_pack_planes, _plane_dot, _resolve_op_dtype,
                          _round_up, _unpack_planes_ax1)
 
-__all__ = ["gf2_mul_pallas_v2"]
+__all__ = ["gf2_mul_pallas_v2", "TKW2"]
 
 TM2 = 256       # row tile
 TKW2 = 32       # contraction words per chunk (tk = 1024 bits)
@@ -205,7 +205,9 @@ def gf2_mul_pallas_v2(a_data: jnp.ndarray, b_data: jnp.ndarray,
     tkw = min(TKW2, _round_up(kw, 8))
     if not interpret:
         tm = _round_up(tm, 8)
-        if tnw % 128 != 0 and tnw < nw:
+        if tnw % 128 != 0:
+            # lane-align any caller-passed tnw (Mosaic needs 128-lane
+            # tiles), clamped to the padded output width
             tnw = min(_round_up(nw, 128), _round_up(tnw, 128))
     m_pad = _round_up(m, tm)
     kw_pad = _round_up(kw, tkw)
