@@ -86,8 +86,8 @@ def main():
     print(f"-schur-upanel-post: {results['-schur-upanel-post']:.4f} s",
           flush=True)
 
-    orig_swaps = ple_mod._apply_row_swaps
-    ple_mod._apply_row_swaps = lambda A, s, d: A
+    orig_swaps = ple_mod._apply_row_perm_window
+    ple_mod._apply_row_perm_window = lambda A, rpw, r_in: A
     results["-rowswap"] = timeit(run)
     print(f"-rowswap: {results['-rowswap']:.4f} s", flush=True)
 
@@ -118,7 +118,7 @@ def main():
     pallas_schur.gf2_schur_update_dyn = orig_dyn
     pallas_mul.gf2_mul_pallas = orig_mul
     pallas_post.panel_post = orig_post
-    ple_mod._apply_row_swaps = orig_swaps
+    ple_mod._apply_row_perm_window = orig_swaps
     ple_mod._write_panel_cols = orig_write
     pallas_panel.panel_loop = orig_loop
 

@@ -14,6 +14,8 @@ applications gather bit-columns through unpack/pack.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -111,22 +113,26 @@ def permute_cols(m: BitMatrix, perm: jnp.ndarray) -> BitMatrix:
     return mask_padding(BitMatrix(pack_bits(out), m.ncols))
 
 
+@jax.jit
 def apply_p_left(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
     """Row swaps ascending (reference: mzd_apply_p_left, mzp.c:65)."""
     return permute_rows(m, swaps_to_perm(v[: m.nrows], True))
 
 
+@jax.jit
 def apply_p_left_trans(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
     """Row swaps descending (reference: mzd_apply_p_left_trans, mzp.c:74)."""
     return permute_rows(m, swaps_to_perm(v[: m.nrows], False))
 
 
+@jax.jit
 def apply_p_right(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
     """Column swaps descending (reference: mzd_apply_p_right applies swaps
     from the last index down, mzp.c:252-262)."""
     return permute_cols(m, swaps_to_perm(v[: m.ncols], False))
 
 
+@jax.jit
 def apply_p_right_trans(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
     """Column swaps ascending (reference: mzd_apply_p_right_trans)."""
     return permute_cols(m, swaps_to_perm(v[: m.ncols], True))
@@ -156,6 +162,12 @@ def apply_p_right_trans_tri_seq(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
 
 
 def _trans_tri_rowchunk(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
+    return _trans_tri_rowchunk_impl(m, v, _TRANS_TRI_CHUNK_ELEMS)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_elems",))
+def _trans_tri_rowchunk_impl(m: BitMatrix, v: jnp.ndarray,
+                             chunk_elems: int) -> BitMatrix:
     """Row-chunked lane-gather implementation of trans_tri (see
     apply_p_right_trans_tri for the semantics).
 
@@ -199,7 +211,7 @@ def _trans_tri_rowchunk(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
     node_row = jnp.clip(c - 1, 0, nrows - 1)
     node_val = jnp.where(c >= 1, c, sentinel)
     bits = unpack_bits(m.data, jnp.uint8)[:, :ncols]
-    chunk = max(1, min(nrows, _TRANS_TRI_CHUNK_ELEMS // max(ncols, 1)))
+    chunk = max(1, min(nrows, chunk_elems // max(ncols, 1)))
     carry = jnp.full((ncols,), sentinel)
     out_rows = [None] * ((nrows + chunk - 1) // chunk)
     starts = list(range(0, nrows, chunk))
@@ -283,6 +295,11 @@ def _band_suffix_folds(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _trans_tri_banded(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
+    return _trans_tri_banded_impl(m, v, _TRANS_TRI_BAND)
+
+
+@functools.partial(jax.jit, static_argnames=("h",))
+def _trans_tri_banded_impl(m: BitMatrix, v: jnp.ndarray, h: int) -> BitMatrix:
     """Banded trans_tri: all heavy traffic is sublane-friendly.
 
     Row r's result applies the swap suffix i > r; rows of a 256-row band
@@ -300,7 +317,6 @@ def _trans_tri_banded(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
     ~3 GB/s on v5e versus the per-element selects of a per-row lane
     gather (~240x measured at 32768^2, benches/probe_gather.py)."""
     from .transpose import transpose
-    h = _TRANS_TRI_BAND
     nrows, ncols = m.nrows, m.ncols
     n = min(ncols, v.shape[0])
     r_rows = min(nrows, n)                  # rows swaps can touch

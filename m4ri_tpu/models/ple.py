@@ -174,11 +174,19 @@ def run_panel_loop(panel_words, r, base, t, r_in, m: int, nb: int,
         st0)
 
 
-def _apply_row_swaps(A, srcp, dstp):
-    """Move the <= 2*nb rows a panel's swaps touched (gather + scatter);
-    module-level so the breakdown probe can stub it."""
-    moved = A[srcp]
-    return A.at[dstp].set(moved, mode="drop")
+def _apply_row_perm_window(A, rpw, r_in):
+    """Apply a window-local row permutation: every swap endpoint of the
+    fast path lies inside the W-row window at r_in, so one W-row slab
+    gather replaces the XLA row scatter (whose per-index serialization
+    cost ~0.12 ms/panel on v5e — measured in probe_ple_breakdown)."""
+    W = rpw.shape[0]
+    slab = lax.dynamic_slice(A, (r_in, 0), (W, A.shape[1]))
+    return lax.dynamic_update_slice(A, slab[rpw], (r_in, 0))
+
+
+def _apply_row_perm_full(A, rp):
+    """Full-height row permutation (miss fallback only)."""
+    return A[rp]
 
 
 def _write_panel_cols(A, panel_full, c0w):
@@ -319,13 +327,14 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
             AL, rp, r_s, touched_s, p_s, q_s = run_loop(
                 m_pad, jnp.int32(0), t, r_in, r, Xw)
             return (AL[:, :nbw], AL[:, nbw:], rp[touched_s], touched_s,
-                    p_s, q_s, r_s)
+                    p_s, q_s, r_s, _apply_row_perm_full(A, rp))
 
         def fast_branch(_):
             return (panel_fast, lp_fast, r_in + rpw[touched_f],
-                    r_in + touched_f, p_f, q_f, r_f)
+                    r_in + touched_f, p_f, q_f, r_f,
+                    _apply_row_perm_window(A, rpw, r_in))
 
-        panel_full, Lpw, srcp, dstp, p_pan, q_pan, r = lax.cond(
+        panel_full, Lpw, srcp, dstp, p_pan, q_pan, r, A = lax.cond(
             miss, slow_branch, fast_branch, None)
 
         # commit the panel's pivot records into the global swap arrays
@@ -338,9 +347,8 @@ def _block_factor_impl(data, m: int, n: int, nb: int, preserve_l: bool,
         Q = lax.dynamic_update_slice(Q, jnp.where(live2, q_pan, q_old),
                                      (r_in,))
 
-        # apply the row permutation to the rest of A: only the swap
-        # endpoints moved (<= 2*nb rows), so gather/scatter just those
-        A = _apply_row_swaps(A, srcp, dstp)
+        # the row permutation was applied inside the taken branch (window
+        # slab gather on the fast path, full gather on the miss fallback)
         A = _write_panel_cols(A, panel_full, c0w)
         return A, P, Q, r, Lpw, r_in, srcp, dstp
 
@@ -551,9 +559,14 @@ def block_factor(a: BitMatrix, preserve_l: bool, nb: int | None = None,
     if engine is None:
         engine = "pallas" if (cfg.use_pallas_panel
                               and jax.default_backend() == "tpu") else "xla"
+    # the fused post kernel only wins above ~25k rows on hardware (see
+    # Config.pallas_post_min_rows); interpret mode keeps it on so the CPU
+    # suite always covers the production kernel
+    use_post = cfg.use_pallas_panel_post and (
+        engine != "pallas" or a.nrows >= cfg.pallas_post_min_rows)
     data, p, q, r = _block_factor_impl(
         a.data, a.nrows, a.ncols, nb, preserve_l, search_window, window,
-        engine, cfg.use_pallas_panel_post, cfg.schur_col_skip,
+        engine, use_post, cfg.schur_col_skip,
         cfg.schur_dyn, cfg.schur_op_dtype, cfg.ple_block_panels)
     return data, p, q, r
 

@@ -56,18 +56,19 @@ def _tables(nb: int, preserve_l: bool):
 
 def _make_kernel(h: int, nb: int, search_window: int):
     def kernel(s_ref, al_in, wmask_ref, lbit_ref,
-               al_ref, rp_ref, tch_ref, pp_ref, qq_ref, r_ref):
+               al_ref, rp_ref, tch_ref, pp_ref, qq_ref, r_ref, cw_ref):
         w2 = al_in.shape[1]
         r0 = s_ref[0]
         base = s_ref[1]
         m = s_ref[2]
         al_ref[:] = al_in[:]
         rowiota = lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+        laneiota = lax.broadcasted_iota(jnp.int32, (1, w2), 1)
         rp_ref[:] = rowiota
         tch_ref[:] = jnp.zeros((2 * nb, 1), jnp.int32)
         pp_ref[:] = jnp.zeros((nb, 1), jnp.int32)
         qq_ref[:] = jnp.zeros((nb, 1), jnp.int32)
-        pos = base + rowiota
+        pos_ok = (base + rowiota) < m                     # (h, 1), loop-inv
         nbw = w2 // 2
 
         def one(x):
@@ -76,25 +77,41 @@ def _make_kernel(h: int, nb: int, search_window: int):
         def body(j, r):
             wloc = j // WORD_BITS
             sh = (j - wloc * WORD_BITS).astype(jnp.uint32)
-            # column-word select via static lane slices + scalar compares:
-            # keeps every temporary (h, 1)-sized so the full-height
-            # fallback window stays inside scoped VMEM
-            colw = al_ref[:, 0:1]
-            for i in range(1, nbw):
-                colw = jnp.where(wloc == i, al_ref[:, i : i + 1], colw)
-            col = ((colw >> sh) & 1).astype(jnp.int32)    # (h, 1)
-            cand = (col == 1) & (pos >= r) & (pos < m)
+
+            # cw caches the CURRENT panel word for every row, pre-shifted
+            # so the current column is always bit 0 (col = cw & 1): the
+            # nbw-way lane-select chain runs once per 32 columns instead
+            # of every column, the rest of the maintenance is one scalar
+            # broadcast per step (swap rows / XOR the eliminated word /
+            # shift right) — measured ~2x on the per-column cost.
+            @pl.when(sh == 0)
+            def _():
+                colw = al_ref[:, 0:1]
+                for i in range(1, nbw):
+                    colw = jnp.where(wloc == i, al_ref[:, i : i + 1], colw)
+                cw_ref[:] = colw
+
+            col = (cw_ref[:] & 1).astype(jnp.int32)       # (h, 1)
+            rs = r - base
+            cand = (col == 1) & (rowiota >= rs) & pos_ok
             if search_window:
-                cand = cand & (pos < r + search_window)
+                cand = cand & (rowiota < rs + search_window)
             first = jnp.min(jnp.where(cand, rowiota, jnp.int32(h)))
             found = first < h
-            rs = r - base
             ps = jnp.where(found, first, rs)
+
+            # pre-swap column bit of the row leaving position rs (cheap
+            # dynamic sublane read, not a full-height reduce)
+            col_rs = (cw_ref[pl.ds(rs, 1), :] & 1).astype(jnp.int32)[0, 0]
 
             row_rs = al_ref[pl.ds(rs, 1), :]
             row_ps = al_ref[pl.ds(ps, 1), :]
             al_ref[pl.ds(rs, 1), :] = row_ps
             al_ref[pl.ds(ps, 1), :] = row_rs
+            cw_rs = cw_ref[pl.ds(rs, 1), :]
+            cw_ps = cw_ref[pl.ds(ps, 1), :]
+            cw_ref[pl.ds(rs, 1), :] = cw_ps
+            cw_ref[pl.ds(ps, 1), :] = cw_rs
             pr = rp_ref[pl.ds(rs, 1), :]
             pp = rp_ref[pl.ds(ps, 1), :]
             rp_ref[pl.ds(rs, 1), :] = pp
@@ -109,12 +126,22 @@ def _make_kernel(h: int, nb: int, search_window: int):
             wmask = wmask_ref[pl.ds(j, 1), :]
             lbit = lbit_ref[pl.ds(slot, 1), :]
             elim_row = (row_ps & wmask) | lbit            # (1, w2)
+            # the masked elimination word at lane wloc, in cw's shifted
+            # domain (bit 0 = current column, dropped by the >> 1 below).
+            # One-hot select + sum; Mosaic rejects reductions over
+            # unsigned vectors, so reduce on the int32 bit pattern.
+            ew_i = jnp.sum(jnp.where(
+                laneiota == wloc,
+                lax.bitcast_convert_type(elim_row, jnp.int32), 0))
+            # int32 -> uint32 conversion wraps mod 2^32 = same bit pattern
+            # (Mosaic has no scalar bitcast)
+            ew = ew_i.astype(jnp.uint32) >> sh
             # post-swap column bits: position ps received old row rs
-            col_rs = jnp.max(jnp.where(rowiota == rs, col, 0))
             col2 = jnp.where(rowiota == ps, col_rs, col)
-            elim = (col2 == 1) & (pos > r) & found
+            elim = (col2 == 1) & (rowiota > rs) & found
             em = elim.astype(jnp.uint32)                  # (h, 1)
             al_ref[:] = al_ref[:] ^ (em * elim_row)
+            cw_ref[:] = (cw_ref[:] ^ (em * ew)) >> 1
             return r + found.astype(jnp.int32)
 
         r = lax.fori_loop(0, nb, body, r0)
@@ -155,6 +182,12 @@ def panel_loop(al0, r0, base, m, nb: int, preserve_l: bool,
             jax.ShapeDtypeStruct((nb, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((h, 1), jnp.uint32)],  # cw cache
+        compiler_params=pltpu.CompilerParams(
+            # the (h, 1) buffers are 128-lane padded; the full-height
+            # fallback window at h = 8192 plus the cw scratch exceeds the
+            # 16 MB default scoped-VMEM cap
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(scalars, al0, wmask, lbit)
     al, rp, tch, pp, qq, r = out

@@ -133,9 +133,23 @@ def _post_padded(scal, xw, mp, wp, cm, tm: int, interpret: bool = False):
     )(scal, xw, mp, wp, cm)
 
 
+def _pick_tm(m: int, pref: int = 1024) -> int:
+    """Largest 256-multiple divisor of m up to pref: the kernel is
+    grid-step-latency-bound (~2 us/tile of DMA issue against ~0.3 us of
+    MXU work), so fewer, taller tiles win as long as the int32
+    intermediates stay comfortably inside VMEM."""
+    best = 256
+    t = 256
+    while t <= pref:
+        if m % t == 0:
+            best = t
+        t += 256
+    return best
+
+
 def panel_post(xw: jnp.ndarray, m_small: jnp.ndarray, wmat: jnp.ndarray,
                colmask_bits: jnp.ndarray, below0, mvalid,
-               tm: int = 256, interpret: bool = False):
+               tm: int | None = None, interpret: bool = False):
     """Fused below-window elimination.
 
     xw: uint32[m, nbw] packed stale panel words (m % tm == 0);
@@ -149,6 +163,8 @@ def panel_post(xw: jnp.ndarray, m_small: jnp.ndarray, wmat: jnp.ndarray,
     m, nbw = xw.shape
     nb = nbw * WORD_BITS
     assert m_small.shape == (nb, nb) and wmat.shape == (nb, nb)
+    if tm is None:
+        tm = _pick_tm(m)
     assert m % tm == 0, (m, tm)
     perm = plane_perm(nbw)
     mp = m_small[perm][:, perm]

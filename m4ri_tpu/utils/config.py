@@ -27,9 +27,11 @@ WORD_BITS = 32  # TPU vector lanes are 32-bit; reference uses 64 (misc.h:87).
 class Config:
     # Panel width for blocked PLE / echelonization (reference analogue:
     # kk = 6*k Gray-code round width, brilliantrussian.c:642-647).
-    # 256 measured best on v5e with the Mosaic pivot-loop kernel
-    # (rank 16384: 0.101 s vs 0.114 s at 128).
-    panel_width: int = 256
+    # 512 measured best on v5e after the shifted-cw pivot-kernel rewrite
+    # halved the per-column cost (PLE 32768: 0.197 s vs 0.227 at 256;
+    # 16384: 0.072 vs 0.073); before the rewrite the taller window made
+    # 512 lose (0.107 vs 0.085 at 16384).
+    panel_width: int = 512
     # Block size for the MXU matmul k-dimension when the operands are too
     # large to unpack at once (reference analogue: __M4RI_MUL_BLOCKSIZE,
     # mzd.h:59 — babystep/giantstep blocking to keep tables L2 resident).
@@ -96,10 +98,11 @@ class Config:
     # Row-window height for the panel factorization's sequential pivot loop
     # (models/ple.py).  The canonical pivot always lies in the first
     # `window` active rows unless the window goes rank-deficient, which is
-    # detected exactly and falls back to a full-height panel sweep; 2x the
-    # panel width makes that fallback vanishingly rare for generic inputs
-    # while keeping the serial loop's working set VMEM-sized.
-    panel_window: int = 512
+    # detected exactly and falls back to a full-height panel sweep; a
+    # 256-row margin over the panel width makes that fallback vanishingly
+    # rare for generic inputs while keeping the serial loop's working set
+    # VMEM-sized (measured vs 2x width: 0.197 vs 0.201 s at PLE 32768).
+    panel_window: int = 768
     # Split the panel sweep into column-tile groups so the fused Schur
     # kernel statically skips streaming the already-factored tiles
     # (ops/pallas_schur.py col_tile_skip).  Costs one scan body per group
@@ -117,6 +120,13 @@ class Config:
     # unpack-dot-pack chain, whose m x nb intermediates get layout-copied
     # inside the factorization scan.
     use_pallas_panel_post: bool = True
+    # Row count below which the XLA post chain replaces the fused kernel.
+    # At the nb=256 panel width the fused kernel's narrow (tm, 8-word)
+    # blocks ran at ~1/16 lane efficiency and lost below ~25k rows
+    # (measured 16384: 0.0838 s XLA vs 0.0886 fused); at the current
+    # nb=512 default the fused kernel wins at every driver size
+    # (16384: 0.0704 vs 0.0718), so the gate is off by default.
+    pallas_post_min_rows: int = 0
     # Provenance of the derived values ("tpu:<kind>", "cpu", "default").
     derived_from: str = "default"
 
