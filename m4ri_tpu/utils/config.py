@@ -86,11 +86,12 @@ class Config:
     # and available via M4RI_TPU_PLE_BLOCK_PANELS for larger n.
     ple_block_panels: int = 1
     # dtype inside the fused Schur-update kernel (the panel
-    # factorization's k = panel-width products).  Shallow contractions
-    # are unpack-bound, not MXU-bound, and int4's extra packed-A
-    # transpose makes it a slight net loss there (PLE 32768: 0.287 s
-    # int4 vs 0.279 s int8 measured) — int8 by default.
-    schur_op_dtype: str = "int8"
+    # factorization's k = panel-width products).  At the old nb=256 the
+    # shallow contraction was unpack-bound and int4 lost slightly
+    # (PLE 32768: 0.287 s int4 vs 0.279 int8); at the nb=512 default the
+    # k=512-deep update is MXU-bound and int4 wins (0.166 vs 0.195,
+    # bit-exact vs the XLA engine on chip) — int4 by default.
+    schur_op_dtype: str = "int4"
     # Run the panel pivot loop as a single VMEM-resident Mosaic kernel on
     # TPU (ops/pallas_panel.py) — the XLA lowering pays a ~2 us/column
     # fori_loop floor that dominates large factorizations.
