@@ -347,7 +347,9 @@ def _trans_tri_banded_impl(m: BitMatrix, v: jnp.ndarray, h: int) -> BitMatrix:
     src_rows = src[:Br, 1:]                  # (Br, h, 2h) per-row folds
 
     # --- suffix permutations G_b = fold of steps >= (b+1)h, built from
-    # the full folds expanded to column-id maps (Bs cheap 1-D gathers) ---
+    # the full folds expanded to column-id maps (Bs cheap 1-D gathers;
+    # measured 0.057 s at 32768 — a pointer-doubling rewrite in the
+    # transposed layout ran 5x SLOWER, benches/probe_transtri.py) ---
     src_cols = jnp.take_along_axis(sb, f_full, axis=1)  # content source ids
     g_cur = c_all
     g_list = [None] * Br
@@ -374,6 +376,8 @@ def _trans_tri_banded_impl(m: BitMatrix, v: jnp.ndarray, h: int) -> BitMatrix:
               jnp.uint32(1)).astype(jnp.uint8)
     e_bits = e_bits.reshape(2 * h, Br, h).transpose(1, 2, 0)  # (Br,h,2h)
 
+    # (a sublane-transposed formulation of this gather measured identical
+    # — 0.227 s either way at 32768; see benches/probe_transtri.py)
     corrected = jnp.take_along_axis(e_bits, src_rows, axis=2)  # (Br,h,2h)
 
     # pack the corrected columns back to words (rows minor)
