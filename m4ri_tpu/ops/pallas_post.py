@@ -124,7 +124,13 @@ def _post_padded(scal, xw, mp, wp, cm, tm: int, interpret: bool = False):
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # the narrow (tm, nbw) blocks are 128-lane padded in VMEM and
+            # Mosaic double-buffers them across grid steps: at tm=1024 the
+            # stack tops the 16 MB default scoped-VMEM cap (measured
+            # 17.34M on a 1024x128 panel) — raise it like the other
+            # kernels (v5e has 128 MB)
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * m * nb * nb,          # two nb-deep MXU products
             bytes_accessed=3 * m * nbw * 4 + 2 * nb * nb,
