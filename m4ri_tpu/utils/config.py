@@ -100,10 +100,11 @@ class Config:
     # (models/ple.py).  The canonical pivot always lies in the first
     # `window` active rows unless the window goes rank-deficient, which is
     # detected exactly and falls back to a full-height panel sweep; a
-    # 256-row margin over the panel width makes that fallback vanishingly
-    # rare for generic inputs while keeping the serial loop's working set
-    # VMEM-sized (measured vs 2x width: 0.197 vs 0.201 s at PLE 32768).
-    panel_window: int = 768
+    # 64-row margin over the panel width keeps the serial loop minimal
+    # (per-column cost is proportional to the window height: rank 16384
+    # 0.0586 s at W=576 vs 0.0614 at 768) while making the fallback
+    # vanishingly rare for generic inputs — and exact when it does fire.
+    panel_window: int = 576
     # Split the panel sweep into column-tile groups so the fused Schur
     # kernel statically skips streaming the already-factored tiles
     # (ops/pallas_schur.py col_tile_skip).  Costs one scan body per group
