@@ -148,6 +148,21 @@ def mul_packed_data(a_data: jnp.ndarray, b_data: jnp.ndarray,
     return jnp.concatenate(out_rows, axis=0)
 
 
+# Top-level jit wrappers for the public mul/addmul dispatch: un-jitted,
+# a depth-2 Strassen call issues ~80 eager ops — ~40 ms of tunnel RPC
+# EACH on the dev runtime (the same lesson as the round-4 pluq fix).
+# mul_packed_data itself stays un-jitted so in-jit callers (the PLE scan,
+# TRSM recursions) keep XLA's cross-op fusion.
+@jax.jit
+def _mul_small_jit(a_data, b_data):
+    return mul_packed_data(a_data, b_data)
+
+
+@jax.jit
+def _addmul_small_jit(c_data, a_data, b_data):
+    return c_data ^ mul_packed_data(a_data, b_data)
+
+
 def _is_sqr(a: BitMatrix, b: BitMatrix) -> bool:
     """Same-operand detection (reference: mzd_mul dispatches A == B to the
     squaring specialization, strassen.c:358-364).  In the functional world
@@ -166,7 +181,7 @@ def mul(a: BitMatrix, b: BitMatrix) -> BitMatrix:
         else:
             out = strassen_mul_data(a.data, b.data, a.nrows, a.ncols, b.ncols)
     else:
-        out = mul_packed_data(a.data, b.data)
+        out = _mul_small_jit(a.data, b.data)
     return BitMatrix(out, b.ncols)
 
 
@@ -183,8 +198,7 @@ def addmul(c: BitMatrix, a: BitMatrix, b: BitMatrix) -> BitMatrix:
             out = strassen_addmul_data(c.data, a.data, b.data,
                                        a.nrows, a.ncols, b.ncols)
         return BitMatrix(out, c.ncols)
-    prod = mul_packed_data(a.data, b.data)
-    return BitMatrix(c.data ^ prod, c.ncols)
+    return BitMatrix(_addmul_small_jit(c.data, a.data, b.data), c.ncols)
 
 
 def mul_naive(a: BitMatrix, b: BitMatrix, chunk: int = 1024) -> BitMatrix:

@@ -21,6 +21,9 @@ reference analogue __M4RI_STRASSEN_MUL_CUTOFF strassen.h:133-135).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ..utils.config import WORD_BITS, get_config
@@ -197,6 +200,8 @@ def _pad_ops(a_data, b_data, m, k, n, levels):
     return a, b
 
 
+@functools.partial(jax.jit, static_argnames=("m", "k", "n", "cutoff",
+                                             "max_levels"))
 def strassen_mul_data(a_data: jnp.ndarray, b_data: jnp.ndarray,
                       m: int, k: int, n: int,
                       cutoff: int | None = None,
@@ -211,6 +216,7 @@ def strassen_mul_data(a_data: jnp.ndarray, b_data: jnp.ndarray,
     return c[:m, : (n + WORD_BITS - 1) // WORD_BITS]
 
 
+@functools.partial(jax.jit, static_argnames=("n", "cutoff", "max_levels"))
 def strassen_sqr_data(a_data: jnp.ndarray, n: int,
                       cutoff: int | None = None,
                       max_levels: int | None = None) -> jnp.ndarray:
@@ -228,6 +234,8 @@ def strassen_sqr_data(a_data: jnp.ndarray, n: int,
     return c[:n, : (n + WORD_BITS - 1) // WORD_BITS]
 
 
+@functools.partial(jax.jit, static_argnames=("m", "k", "n", "cutoff",
+                                             "max_levels"))
 def strassen_addmul_data(c_data: jnp.ndarray, a_data: jnp.ndarray,
                          b_data: jnp.ndarray, m: int, k: int, n: int,
                          cutoff: int | None = None,
@@ -246,6 +254,7 @@ def strassen_addmul_data(c_data: jnp.ndarray, a_data: jnp.ndarray,
     return out[:m, : (n + WORD_BITS - 1) // WORD_BITS]
 
 
+@functools.partial(jax.jit, static_argnames=("n", "cutoff", "max_levels"))
 def strassen_addsqr_data(c_data: jnp.ndarray, a_data: jnp.ndarray, n: int,
                          cutoff: int | None = None,
                          max_levels: int | None = None) -> jnp.ndarray:
