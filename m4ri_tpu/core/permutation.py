@@ -245,6 +245,9 @@ def _trans_tri_rowchunk_impl(m: BitMatrix, v: jnp.ndarray,
 # rows per band in the banded trans_tri (8 packed words); module-level so
 # tests can shrink it to exercise multi-band seams on small matrices
 _TRANS_TRI_BAND = 256
+# rows per sub-band for the in-band correction's matmul decomposition
+# (clamped to the band height; must divide it)
+_TRANS_TRI_SUBBAND = 32
 
 
 def _band_suffix_folds(w: jnp.ndarray) -> jnp.ndarray:
@@ -259,7 +262,12 @@ def _band_suffix_folds(w: jnp.ndarray) -> jnp.ndarray:
     to chain suffix permutations across bands).
 
     Same path/reverse-cummin construction as _trans_tri_rowchunk, batched
-    over bands, with the extra leading row."""
+    over bands, with the extra leading row.  TPU notes: the node table is
+    built with broadcast compares (an .at[].min scatter serializes per
+    index) and the path-indexed read runs as an exact one-hot f32 MXU
+    product — the take_along_axis lane gather it replaces lowers to
+    per-element selects (10.5x at the 32768 driver shape,
+    benches/probe_gather2.py)."""
     import numpy as np
 
     Bn, two_h = w.shape
@@ -276,18 +284,24 @@ def _band_suffix_folds(w: jnp.ndarray) -> jnp.ndarray:
         f = jnp.take_along_axis(f, f, axis=1)
     pathid = f
     # node y on a path activates rows j < y; with the leading j = -1 row
-    # (index 0) node y scatters at row index min(y, h).  Node values are
-    # step indices (< h), but scatter every slot — trivial slots form
+    # (index 0) node y lands at row index min(y, h).  Node values are
+    # step indices (< h), but every slot is a node — trivial slots form
     # their own single-node path and reduce to the identity below.
+    # Rows 0..h-1 hold one node each (y = row); row h folds nodes y >= h
+    # with a masked min — no scatter anywhere.
     sentinel = jnp.int32(2**31 - 1)
-    node_row = jnp.minimum(c, h)
-    B = jnp.full((Bn, h + 1, two_h), sentinel, jnp.int32).at[
-        bidx, jnp.broadcast_to(node_row[None, :], (Bn, two_h)),
-        pathid].min(jnp.broadcast_to(c[None, :], (Bn, two_h)))
+    onehot_lo = pathid[:, :h, None] == c[None, None, :]      # (Bn, h, 2h)
+    rows_lo = jnp.where(onehot_lo, c[None, :h, None], sentinel)
+    onehot_hi = pathid[:, h:, None] == c[None, None, :]      # (Bn, h, 2h)
+    row_hi = jnp.min(jnp.where(onehot_hi, c[None, h:, None], sentinel),
+                     axis=1, keepdims=True)                  # (Bn, 1, 2h)
+    B = jnp.concatenate([rows_lo, row_hi], axis=1)           # (Bn, h+1, 2h)
     A = jax.lax.cummin(B, axis=1, reverse=True)
-    # src[b, row, p]: row index 0 is j = -1
-    Ag = jnp.take_along_axis(
-        A, jnp.broadcast_to(pathid[:, None, :], A.shape), axis=2)
+    # src values are bounded by 2h after the min with c below, so clip
+    # the sentinel to 2h and read A at pathid as an exact f32 product
+    oh = (pathid[:, None, :] == c[None, :, None]).astype(jnp.float32)
+    Ag = jnp.einsum("brq,bqp->brp", jnp.minimum(A, two_h).astype(jnp.float32),
+                    oh, precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
     sel = jnp.minimum(Ag, c[None, None, :])
     jrow = jnp.arange(-1, h, dtype=jnp.int32)[None, :, None]
     return jnp.where(real[:, None, :] & (jrow < c[None, None, :]),
@@ -295,12 +309,14 @@ def _band_suffix_folds(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _trans_tri_banded(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
-    return _trans_tri_banded_impl(m, v, _TRANS_TRI_BAND)
+    return _trans_tri_banded_impl(m, v, _TRANS_TRI_BAND,
+                                  min(_TRANS_TRI_SUBBAND, _TRANS_TRI_BAND))
 
 
-@functools.partial(jax.jit, static_argnames=("h",))
-def _trans_tri_banded_impl(m: BitMatrix, v: jnp.ndarray, h: int) -> BitMatrix:
-    """Banded trans_tri: all heavy traffic is sublane-friendly.
+@functools.partial(jax.jit, static_argnames=("h", "g"))
+def _trans_tri_banded_impl(m: BitMatrix, v: jnp.ndarray, h: int,
+                           g: int) -> BitMatrix:
+    """Banded trans_tri: all heavy traffic is sublane-friendly or MXU.
 
     Row r's result applies the swap suffix i > r; rows of a 256-row band
     share every swap at or beyond the band end.  Split per band b
@@ -310,13 +326,24 @@ def _trans_tri_banded_impl(m: BitMatrix, v: jnp.ndarray, h: int) -> BitMatrix:
         mid[r] = in1[r][f_r]        (in-band suffix fold, support <= 2h)
 
     The in-band folds touch only S_b = {i} u {v[i]} (2h slots), so they
-    are computed in slot space (_band_suffix_folds) and applied to a
-    (h, 2h) extract per band; the extract, the write-back, and the final
-    G gather all run in the TRANSPOSED packed domain, where the index
-    varies per (column, band) — a banded sublane gather that moves at
-    ~3 GB/s on v5e versus the per-element selects of a per-row lane
-    gather (~240x measured at 32768^2, benches/probe_gather.py)."""
+    are applied to a (h, 2h) extract per band; the extract, the
+    write-back, and the final G gather all run in the TRANSPOSED packed
+    domain, where the index varies per (column, band) — a banded sublane
+    gather, versus the per-element selects of a per-row lane gather
+    (~240x measured at 32768^2, benches/probe_gather.py).
+
+    The per-row fold itself is decomposed once more over g-row
+    sub-bands: fold_j = infold_j o U_s, where U_s (the fold of band
+    steps >= (s+1)g) is uniform across sub-band s and infold_j touches
+    only the <= 2g slots T_s of the sub-band's own steps.  U_s is
+    applied as an exact one-hot bf16 MXU product plus a rank-2g delta
+    term (the in-sub-band correction), which replaces the 512-lane
+    per-row gather that dominated this pass (0.225 s -> ~0.02 s at
+    32768, benches/probe_gather2.py).  Sub-band per-row folds reuse
+    _band_suffix_folds on the 2g-slot local swap arrays."""
     from .transpose import transpose
+    assert h % g == 0
+    ns = h // g
     nrows, ncols = m.nrows, m.ncols
     n = min(ncols, v.shape[0])
     r_rows = min(nrows, n)                  # rows swaps can touch
@@ -342,9 +369,41 @@ def _trans_tri_banded_impl(m: BitMatrix, v: jnp.ndarray, h: int) -> BitMatrix:
         [base + jj, jnp.where(in_band, jnp.int32(ncols), vb)], axis=1)
     sb = jnp.where(sb < ncols, sb, jnp.int32(ncols))
 
-    src = _band_suffix_folds(w_slots)        # (Bs, h+1, 2h)
-    f_full = src[:, 0]                       # full band folds
-    src_rows = src[:Br, 1:]                  # (Br, h, 2h) per-row folds
+    # --- sub-band local swap arrays over the 2h band-slot space.  Step
+    # j = sg+jl targets slot w_slots[j] >= j; "in-sub" targets (< (s+1)g)
+    # get their local id, others a reserved dummy-paired slot g+jl.
+    # T_s lists the touched band slots (2h marks a dummy). ---
+    jl = jnp.arange(g, dtype=jnp.int32)
+    send = (jnp.arange(ns, dtype=jnp.int32)[None, :, None] + 1) * g
+    wj = w_slots[:, :h].reshape(Bs, ns, g)
+    in_sub = wj < send
+    wl = jnp.concatenate(
+        [jnp.where(in_sub, wj - (send - g), g + jl[None, None, :]),
+         jnp.broadcast_to(jnp.arange(g, 2 * g, dtype=jnp.int32),
+                          (Bs, ns, g))], axis=2)           # (Bs, ns, 2g)
+    tslot = jnp.concatenate(
+        [jnp.broadcast_to(send - g + jl[None, None, :], (Bs, ns, g)),
+         jnp.where(in_sub, jnp.int32(2 * h), wj)], axis=2)  # (Bs, ns, 2g)
+
+    lf = _band_suffix_folds(wl.reshape(Bs * ns, 2 * g))
+    lf_full = lf[:, 0].reshape(Bs, ns, 2 * g)
+    lf_rows = lf[:, 1:].reshape(Bs, ns, g, 2 * g)[:Br]      # (Br,ns,g,2g)
+
+    # --- expand full sub-folds to 2h-slot maps and compose the
+    # sub-suffix folds U_s (steps >= (s+1)g) and the full band fold ---
+    ident = jnp.arange(2 * h, dtype=jnp.int32)
+    t_src = jnp.take_along_axis(tslot, lf_full, axis=2)
+    bidx = jnp.arange(Bs, dtype=jnp.int32)[:, None, None]
+    sidx = jnp.arange(ns, dtype=jnp.int32)[None, :, None]
+    F = jnp.broadcast_to(ident[None, None, :], (Bs, ns, 2 * h)).at[
+        bidx, sidx, tslot].set(t_src, mode="drop")          # (Bs, ns, 2h)
+    u_cur = jnp.broadcast_to(ident[None, :], (Bs, 2 * h))
+    u_list = [None] * ns
+    for s in range(ns - 1, -1, -1):
+        u_list[s] = u_cur                                    # U_s
+        u_cur = jnp.take_along_axis(F[:, s], u_cur, axis=1)
+    f_full = u_cur                                           # whole band
+    U = jnp.stack(u_list, axis=1)                            # (Bs, ns, 2h)
 
     # --- suffix permutations G_b = fold of steps >= (b+1)h, built from
     # the full folds expanded to column-id maps (Bs cheap 1-D gathers;
@@ -375,10 +434,26 @@ def _trans_tri_banded_impl(m: BitMatrix, v: jnp.ndarray, h: int) -> BitMatrix:
     e_bits = ((e_pk[:, :, :, None] >> shifts[None, None, None, :]) &
               jnp.uint32(1)).astype(jnp.uint8)
     e_bits = e_bits.reshape(2 * h, Br, h).transpose(1, 2, 0)  # (Br,h,2h)
+    e4 = e_bits.reshape(Br, ns, g, 2 * h)
 
-    # (a sublane-transposed formulation of this gather measured identical
-    # — 0.227 s either way at 32768; see benches/probe_transtri.py)
-    corrected = jnp.take_along_axis(e_bits, src_rows, axis=2)  # (Br,h,2h)
+    # --- corrected[j, q] = e[j, fold_j[q]] = (e + delta)[j, U_s[q]]:
+    # one-hot U product plus the in-sub-band delta at slots T_s ---
+    slot_r = jnp.arange(2 * h, dtype=jnp.int32)
+    oh_t = (tslot[:Br, :, None, :] ==
+            slot_r[None, None, :, None]).astype(jnp.bfloat16)  # (Br,ns,2h,2g)
+    e_t = jnp.einsum("bsjq,bsqt->bsjt", e4.astype(jnp.bfloat16), oh_t,
+                     preferred_element_type=jnp.float32).astype(jnp.int8)
+    e_tf = jnp.take_along_axis(e_t, lf_rows, axis=3)       # 2g-lane gather
+    delta = (e_tf - e_t).astype(jnp.bfloat16)              # (Br, ns, g, 2g)
+    oh_u = (U[:Br, :, None, :] ==
+            slot_r[None, None, :, None]).astype(jnp.bfloat16)  # (Br,ns,2h,2h)
+    oh_d = (U[:Br, :, None, :] ==
+            tslot[:Br, :, :, None]).astype(jnp.bfloat16)       # (Br,ns,2g,2h)
+    corr = (jnp.einsum("bsjq,bsqp->bsjp", e4.astype(jnp.bfloat16), oh_u,
+                       preferred_element_type=jnp.float32) +
+            jnp.einsum("bsjt,bstp->bsjp", delta, oh_d,
+                       preferred_element_type=jnp.float32))
+    corrected = corr.astype(jnp.uint8).reshape(Br, h, 2 * h)
 
     # pack the corrected columns back to words (rows minor)
     cpk = corrected.transpose(0, 2, 1).reshape(
