@@ -465,8 +465,16 @@ def _trans_tri_banded_impl(m: BitMatrix, v: jnp.ndarray, h: int,
     mid3 = xt3.at[sb[:Br], jnp.arange(Br, dtype=jnp.int32)[:, None], :] \
         .set(cpk, mode="drop")
 
-    # band-uniform suffix gather (the probe's formulation d)
-    out3 = jnp.take_along_axis(mid3, gidx[:, :, None], axis=0)
+    # band-uniform suffix move out3[c, b] = mid3[gidx[c, b], b], run as a
+    # per-band co-sort on the inverse index (keys + wb payload words):
+    # one take_along_axis here is index-rate-bound at ~36 ns/index on
+    # v5e, 3x slower than the sort (benches/probe_transtri2.py)
+    invg = jnp.zeros_like(gidx).at[
+        gidx, jnp.arange(Br, dtype=jnp.int32)[None, :]].set(
+        jnp.broadcast_to(c_all[:, None], gidx.shape))
+    sort_ops = (invg,) + tuple(mid3[:, :, i] for i in range(mid3.shape[2]))
+    out3 = jnp.stack(jax.lax.sort(sort_ops, dimension=0, num_keys=1)[1:],
+                     axis=2)
 
     out_t = out3.reshape(ncols, wr_band)
     if wr_band < wr:
