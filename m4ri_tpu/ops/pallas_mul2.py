@@ -188,7 +188,8 @@ def _mul2_padded(at3, bp3, tm: int, tkw: int, tnw: int,
 def gf2_mul_pallas_v2(a_data: jnp.ndarray, b_data: jnp.ndarray,
                       tm: int | None = None, tnw: int | None = None,
                       interpret: bool = False,
-                      op_dtype: str = "int8") -> jnp.ndarray:
+                      op_dtype: str = "int8",
+                      tkw: int | None = None) -> jnp.ndarray:
     """Packed GF(2) product C = A*B, deep-contraction kernel.
 
     a: uint32[m, kw], b: uint32[k, nw] with k <= kw*32 (padding bits
@@ -196,13 +197,26 @@ def gf2_mul_pallas_v2(a_data: jnp.ndarray, b_data: jnp.ndarray,
     gf2_mul_pallas; prefer this engine when the contraction spans
     several chunks (kw > TKW2) — below that v1's resident accumulator
     wins because there is nothing to re-unpack.
+
+    ``tkw`` is the contraction chunk depth in words.  Deeper chunks cut
+    the per-(row tile, chunk) parity-pack count and the C
+    read-modify-write traffic linearly (both scale with KB = kw/tkw);
+    the ceiling is the VMEM B cache (tk x tn at op_dtype width).
     """
     m, kw = a_data.shape
     k, nw = b_data.shape
     op_dtype = _resolve_op_dtype(op_dtype, interpret)
     tm = tm or TM2
     tnw = tnw or TNW2
-    tkw = min(TKW2, _round_up(kw, 8))
+    if tkw is None:
+        # Measured on v5e (benches/probe_tkw.py, int4, chain slopes):
+        # 4096: tkw 32/64/128 = 618/833/717 Tbit-op/s; 8192: 588/593/656/
+        # 696 for 32/64/128/256; 16384: 539/683/688 for 32/128/256.  The
+        # B cache is tk x tn at op_dtype width (int4: 16 MB at tkw=256,
+        # tnw=128), so int8 callers cap one notch lower.
+        tkw = (64 if kw <= 128 else 256) if op_dtype == "int4" \
+            else (64 if kw <= 128 else 128)
+    tkw = min(tkw, _round_up(kw, 8))
     if not interpret:
         tm = _round_up(tm, 8)
         if tnw % 128 != 0:
