@@ -88,13 +88,17 @@ def bench_mul(n: int = 4096, samples: int = 5):
     return float(np.median(slopes))
 
 
-def _preflight(timeout_s: float = 120.0, attempts: int = 3,
-               backoff_s: float = 45.0) -> str | None:
+def _preflight(timeout_s: float = 120.0, budget_s: float = 900.0) -> str | None:
     """The device tunnel can die (relay process loss); a dead endpoint
     makes the first jit hang forever rather than error.  Probe it in a
-    fresh subprocess (a wedged in-process backend cannot be retried) with
-    bounded retry/backoff so a transiently flaky tunnel still yields a
-    real benchmark run, and a dead one yields one honest JSON error line.
+    fresh subprocess (a wedged in-process backend cannot be retried) so a
+    transiently flaky tunnel still yields a real benchmark run, and a dead
+    one yields one honest JSON error line.
+
+    Rounds 2 and 4 both recorded 0.0 because the old 3x45s retry gave up
+    after ~4 minutes while the tunnel demonstrably recovers on the scale
+    of minutes (VERDICT r4 #1): keep probing with exponential backoff
+    until ``budget_s`` (default 15 min) of wall clock is spent.
 
     Returns None on success, else the last error string.
     """
@@ -107,11 +111,19 @@ def _preflight(timeout_s: float = 120.0, attempts: int = 3,
         "print('PREFLIGHT_OK')\n"
     )
     err = "preflight never ran"
-    for attempt in range(attempts):
-        if attempt:
-            print(f"# preflight retry {attempt + 1}/{attempts} after "
-                  f"{backoff_s:.0f}s backoff", file=sys.stderr)
-            time.sleep(backoff_s)
+    deadline = time.monotonic() + budget_s
+    backoff_s, attempt = 20.0, 0
+    while True:
+        attempt += 1
+        if attempt > 1:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                return err
+            wait = min(backoff_s, max(remaining - timeout_s, 5.0))
+            print(f"# preflight retry {attempt} after {wait:.0f}s backoff "
+                  f"({remaining:.0f}s of budget left)", file=sys.stderr)
+            time.sleep(wait)
+            backoff_s = min(backoff_s * 1.7, 180.0)
         try:
             r = subprocess.run([sys.executable, "-c", probe_src],
                                capture_output=True, text=True,
@@ -122,7 +134,8 @@ def _preflight(timeout_s: float = 120.0, attempts: int = 3,
             err = f"preflight exited rc={r.returncode}: {tail[0][:200]}"
         except subprocess.TimeoutExpired:
             err = f"preflight jit timed out after {timeout_s:.0f}s"
-    return err
+        if time.monotonic() >= deadline:
+            return err
 
 
 def _warmup_autotune(n: int) -> None:
@@ -151,28 +164,62 @@ def _warmup_autotune(n: int) -> None:
               file=sys.stderr)
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    err = _preflight()
-    if err is not None:
-        print(json.dumps({
-            "metric": f"gf2_mul_{n} effective bit-op/s",
-            "value": 0.0,
-            "unit": "Tbit-op/s",
-            "vs_baseline": 0.0,
-            "error": f"device unreachable: {err}",
-        }))
-        sys.exit(1)
+def _measure(n: int) -> dict:
     _warmup_autotune(n)
     wall = bench_mul(n)
     bitops = 2.0 * n**3 / wall
     ref_bitops = 2.0 * 4096**3 / REFERENCE_WALL_S
-    print(json.dumps({
+    return {
         "metric": f"gf2_mul_{n} effective bit-op/s",
         "value": round(bitops / 1e12, 4),
         "unit": "Tbit-op/s",
         "vs_baseline": round(bitops / ref_bitops, 3),
+    }
+
+
+def main():
+    args = [a for a in sys.argv[1:] if a != "--inner"]
+    n = int(args[0]) if args else 4096
+
+    if "--inner" in sys.argv:
+        # Measurement child: assumes a live device (parent ran preflight).
+        print("BENCH_JSON " + json.dumps(_measure(n)))
+        return
+
+    # Supervisor: preflight (with long backoff) + measurement subprocess
+    # with a hard timeout, retried — a tunnel that dies MID-bench must
+    # produce a retry, not a hung driver or a 0.0 record (VERDICT r4 #1).
+    import subprocess
+
+    err = "bench never ran"
+    for attempt in range(3):
+        err = _preflight(budget_s=900.0 if attempt == 0 else 300.0)
+        if err is not None:
+            continue
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, str(n), "--inner"],
+                capture_output=True, text=True,
+                timeout=2400.0 if n > 8192 else 1200.0)
+            sys.stderr.write(r.stderr)
+            for line in r.stdout.splitlines():
+                if line.startswith("BENCH_JSON "):
+                    print(line[len("BENCH_JSON "):])
+                    return
+            tail = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
+            err = f"bench child rc={r.returncode}: {tail[0][:200]}"
+        except subprocess.TimeoutExpired:
+            err = "bench child timed out"
+        print(f"# bench attempt {attempt + 1} failed: {err}",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": f"gf2_mul_{n} effective bit-op/s",
+        "value": 0.0,
+        "unit": "Tbit-op/s",
+        "vs_baseline": 0.0,
+        "error": f"device unreachable: {err}",
     }))
+    sys.exit(1)
 
 
 if __name__ == "__main__":

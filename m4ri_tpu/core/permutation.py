@@ -15,6 +15,7 @@ applications gather bit-columns through unpack/pack.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -309,8 +310,11 @@ def _band_suffix_folds(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _trans_tri_banded(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
-    return _trans_tri_banded_impl(m, v, _TRANS_TRI_BAND,
-                                  min(_TRANS_TRI_SUBBAND, _TRANS_TRI_BAND))
+    h = _TRANS_TRI_BAND
+    # g must divide h (trace-time assert below); gcd keeps that true for
+    # any h override (tests shrink _TRANS_TRI_BAND to exercise seams).
+    g = math.gcd(_TRANS_TRI_SUBBAND, h)
+    return _trans_tri_banded_impl(m, v, h, g)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "g"))

@@ -113,9 +113,12 @@ def mul_packed_data(a_data: jnp.ndarray, b_data: jnp.ndarray,
     if (allow_pallas and cfg.use_pallas_big and m >= 2048 and nw >= 128
             and max(m, kp, nw * WORD_BITS) >= cfg.pallas_big_min
             and jax.default_backend() == "tpu"):
-        # v2 pays off once there is more than one chunk to re-unpack
-        from .pallas_mul2 import TKW2, gf2_mul_pallas_v2
-        if cfg.use_pallas_v2 and kw > TKW2:
+        # v2 pays off once there is more than one chunk to re-unpack;
+        # with the deep-chunk heuristic (tkw=64 at kw<=128) a kw<=64
+        # product is a single chunk, where v1's resident accumulator
+        # wins (ADVICE r4: the old kw>32 gate reflected tkw=32 defaults)
+        from .pallas_mul2 import gf2_mul_pallas_v2
+        if cfg.use_pallas_v2 and kw > 64:
             return gf2_mul_pallas_v2(a_data, b_data,
                                      op_dtype=cfg.pallas_op_dtype)
         from .pallas_mul import gf2_mul_pallas

@@ -172,9 +172,10 @@ def _mul2_padded(at3, bp3, tm: int, tkw: int, tnw: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            # the (tk, tn)-shaped unpack intermediates put ~19 MB on the
-            # Mosaic stack; the default scoped-vmem cap is 16 MB (v5e has
-            # 128 MB VMEM total)
+            # the (tk, tn) unpacked-B cache dominates: up to 48 MB at
+            # the deepest clamped tkw (gf2_mul_pallas_v2 budgets it),
+            # plus chunk/double buffers; the default scoped-vmem cap is
+            # 16 MB (v5e has 128 MB VMEM total)
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * (kw_pad * WORD_BITS) * (nw * WORD_BITS),
@@ -208,6 +209,12 @@ def gf2_mul_pallas_v2(a_data: jnp.ndarray, b_data: jnp.ndarray,
     op_dtype = _resolve_op_dtype(op_dtype, interpret)
     tm = tm or TM2
     tnw = tnw or TNW2
+    if not interpret:
+        tm = _round_up(tm, 8)
+        if tnw % 128 != 0:
+            # lane-align any caller-passed tnw (Mosaic needs 128-lane
+            # tiles), clamped to the padded output width
+            tnw = min(_round_up(nw, 128), _round_up(tnw, 128))
     if tkw is None:
         # Measured on v5e (benches/probe_tkw.py, int4, chain slopes):
         # 4096: tkw 32/64/128 = 618/833/717 Tbit-op/s; 8192: 588/593/656/
@@ -216,13 +223,16 @@ def gf2_mul_pallas_v2(a_data: jnp.ndarray, b_data: jnp.ndarray,
         # tnw=128), so int8 callers cap one notch lower.
         tkw = (64 if kw <= 128 else 256) if op_dtype == "int4" \
             else (64 if kw <= 128 else 128)
+    else:
+        tkw = _round_up(tkw, 8)  # Mosaic sublane granularity
     tkw = min(tkw, _round_up(kw, 8))
-    if not interpret:
-        tm = _round_up(tm, 8)
-        if tnw % 128 != 0:
-            # lane-align any caller-passed tnw (Mosaic needs 128-lane
-            # tiles), clamped to the padded output width
-            tnw = min(_round_up(nw, 128), _round_up(tnw, 128))
+    # Clamp the VMEM-dominant B cache — (tkw*32, tnw*32) at op_dtype
+    # width — to a 48 MB budget under the kernel's 100 MB scoped cap
+    # (the packed chunk + A/C double buffers take the rest); an
+    # oversized caller tkw otherwise fails deep inside Mosaic.
+    bits = 4 if op_dtype == "int4" else 8
+    tkw_max = (48 * 1024 * 1024 * 8) // (1024 * tnw * bits)
+    tkw = max(8, min(tkw, tkw_max // 8 * 8))
     m_pad = _round_up(m, tm)
     kw_pad = _round_up(kw, tkw)
     k_pad = kw_pad * WORD_BITS

@@ -62,10 +62,10 @@ def test_dispatch_pallas_shallow_k(rng, monkeypatch):
 
 def test_dispatch_pallas_big_deep(rng, monkeypatch):
     """Deep contraction above mul_block_threshold routes to the v2 kernel
-    (more than one 1024-bit chunk: unpack-B-once engine)."""
+    (more than one chunk at the tkw=64 default: unpack-B-once engine)."""
     cfg = Config(mul_block_threshold=1024, pallas_big_min=1024)
-    a = random_dense(rng, 2048, 1056)
-    b = random_dense(rng, 1056, 4096)
+    a = random_dense(rng, 2048, 2080)
+    b = random_dense(rng, 2080, 4096)
     calls = _spy_pallas(monkeypatch, [])
     from m4ri_tpu.ops.mul import mul_packed_data
     A, B = m4.from_numpy(a), m4.from_numpy(b)
@@ -77,13 +77,14 @@ def test_dispatch_pallas_big_deep(rng, monkeypatch):
 
 def test_dispatch_pallas_big_single_chunk(rng, monkeypatch):
     """A deep-dispatch product whose contraction fits one chunk stays on
-    v1 (nothing to re-unpack; v2 would add C read-modify-write traffic)."""
+    v1 (nothing to re-unpack; v2 would add C read-modify-write traffic).
+    kw=2048/32=64 words sits exactly at the single-tkw=64-chunk gate."""
     # use_pallas_schur off so the big branch (not the shallow-k one)
     # handles this single-chunk contraction
     cfg = Config(mul_block_threshold=512, pallas_big_min=1024,
                  use_pallas_schur=False)
-    a = random_dense(rng, 2048, 1024)
-    b = random_dense(rng, 1024, 4096)
+    a = random_dense(rng, 2048, 2048)
+    b = random_dense(rng, 2048, 4096)
     calls = _spy_pallas(monkeypatch, [])
     from m4ri_tpu.ops.mul import mul_packed_data
     A, B = m4.from_numpy(a), m4.from_numpy(b)

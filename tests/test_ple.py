@@ -271,6 +271,9 @@ def test_apply_p_right_trans_tri_banded(rng, monkeypatch):
     non-square shapes, and a short swap array."""
     from m4ri_tpu.core import permutation as perm
     monkeypatch.setattr(perm, "_TRANS_TRI_BAND", 32)  # multi-band at test n
+    # ns=4 sub-bands per band: exercises the U_s composition loop,
+    # cross-sub-band targets, and the seam delta correction (ADVICE r4).
+    monkeypatch.setattr(perm, "_TRANS_TRI_SUBBAND", 8)
     cases = [(40, 40), (64, 40), (33, 70), (100, 100), (96, 200),
              (200, 96), (130, 130)]
     for (m_, n) in cases:
@@ -295,6 +298,7 @@ def test_apply_p_right_trans_tri_dispatch(rng, monkeypatch):
     row-chunked path below; both must match the oracle at the seam."""
     from m4ri_tpu.core import permutation as perm
     monkeypatch.setattr(perm, "_TRANS_TRI_BAND", 32)
+    monkeypatch.setattr(perm, "_TRANS_TRI_SUBBAND", 8)  # multi-sub-band
     for m_, n in ((64, 64), (63, 70)):  # just at / below the 2-band gate
         a = random_dense(rng, m_, n)
         v = _random_ple_q(rng, n)
