@@ -73,9 +73,11 @@ def main():
         jax.random.bits(jax.random.PRNGKey(1), (n, width_for(n)),
                         dtype=jnp.uint32), n))
 
-    ref = bench("A shipped (trtri+mul)", tri._trsm_left_rec, t, b, True)
+    ref = bench("A shipped (trtri+mul)",
+                lambda t_, b_: tri._trsm_left_rec(t_, b_, True), t, b)
 
-    ti = bench("C1 trtri alone       ", tri._trtri, t, True)
+    ti = bench("C1 trtri alone       ",
+               lambda t_: tri._trtri(t_, True), t)
     bench("C2 final mul alone   ", mul, ti, b)
 
     for base in (8192, 4096, 2048):

@@ -30,6 +30,12 @@ __all__ = ["trtri_upper", "trtri_lower", "trsm_upper_left",
            "trsm_lower_left", "trsm_upper_right", "trsm_lower_right"]
 
 _BASE = 512
+# Wide-B TRSM substitutes down to this size before switching to
+# TRTRI+mul: measured at 32768 upper-left square-B (probe_trsm3, v5e,
+# round 5): shipped trtri+mul 0.1476 s vs substitution-to-base
+# 8192/4096/2048 = 0.0979/0.0898/0.0952 s — the substitution recursion
+# does ~n^3+2n^3/2^d MXU bit-ops vs ~2.67 n^3 for the full inverse.
+_WIDE_BASE = 4096
 
 
 def _round_up(x: int, m: int) -> int:
@@ -107,11 +113,14 @@ def _trsm_left_rec(t: BitMatrix, b: BitMatrix, upper: bool,
     (the reference's actual TRSM recursion, triangular.c:396-516).  For a
     narrow B this costs O(n^2 ncols(B)) MXU work instead of the O(n^3)
     full inverse — the dominant win for mzd_solve_left's 2 triangular
-    solves.  Wide B still goes through TRTRI (one inverse, one product)."""
+    solves.  Wide B substitutes down to _WIDE_BASE before inverting:
+    the full-size TRTRI+mul costs ~2.67 n^3 MXU bit-ops vs ~1.1 n^3 for
+    the substitution (1.64x measured at 32768, probe_trsm3)."""
     if mul_fn is None:
         mul_fn = mul
     n = t.ncols
-    if n <= _BASE or b.ncols * 4 >= n:
+    wide = b.ncols * 4 >= n
+    if n <= _BASE or (wide and n <= _WIDE_BASE):
         return mul_fn(_trtri(t, upper, mul_fn), b)
     n1 = _split(n)
     from ..core.bitmatrix import submatrix
@@ -138,11 +147,13 @@ def _trsm_left_rec(t: BitMatrix, b: BitMatrix, upper: bool,
 def _trsm_right_rec(t: BitMatrix, b: BitMatrix, upper: bool,
                     mul_fn=None) -> BitMatrix:
     """Solve X T = B by 2x2 block substitution (narrow-row B variant of
-    the above; reference: triangular.c:41-111, 301-390)."""
+    the above; reference: triangular.c:41-111, 301-390).  Same wide-B
+    substitution-to-_WIDE_BASE strategy as _trsm_left_rec."""
     if mul_fn is None:
         mul_fn = mul
     n = t.ncols
-    if n <= _BASE or b.nrows * 4 >= n:
+    wide = b.nrows * 4 >= n
+    if n <= _BASE or (wide and n <= _WIDE_BASE):
         return mul_fn(b, _trtri(t, upper, mul_fn))
     n1 = _split(n)
     from ..core.bitmatrix import submatrix
