@@ -489,6 +489,183 @@ def _trans_tri_banded_impl(m: BitMatrix, v: jnp.ndarray, h: int,
     return mask_padding(BitMatrix(res.data, ncols))
 
 
+# --- path-blend trans_tri: the content-adaptive production fast path ---
+# Under the PLE-Q contract the swap steps form DISJOINT INCREASING PATHS
+# (each column is the target of at most one step and v[i] > i for live
+# steps, so i -> v[i] has in/out-degree <= 1).  Applying the suffix
+# steps i > r along a path n1 < n2 < ... < nk rotates content:
+#     slot n_t   <- a[n_{t+1}]   for every LIVE STEP n_t > r   (t < k)
+#     slot nk    <- a[min node > r]        (the path END column)
+#     everything else identity.
+# So the whole trans_tri is (1) a column-shift blend out[r, c] =
+# in[r, v[c]] masked by (c live & c > r) — pure elementwise passes when
+# the displacements v[c]-c are small, which they are for typical inputs
+# (displacement <= running corank; a full-rank random matrix has Q ==
+# identity) — plus (2) a fix-up of the <= #paths path-end columns from a
+# host-precomputed "next node > r" staircase.  Worst cases (large
+# displacement / many paths / traced v) fall back to the banded engine.
+_PATHBLEND_MAX_D = 32    # max column displacement the blend unrolls
+_PATHBLEND_K = 8         # path-end columns fixed per call (padded)
+
+
+def _pathblend_host(vh: "np.ndarray", nrows: int, ncols: int, W: int):
+    """Host-side analysis of a concrete swap array.  Returns None when
+    ineligible (contract violation, displacement > max, too many paths),
+    "identity" when v is trivial, else the device-ready constants.
+    ``ncols`` is the true column count; masks span the padded W words."""
+    import numpy as np
+
+    n = min(ncols, len(vh))
+    if n == 0:
+        return "identity"
+    c = np.arange(n, dtype=np.int64)
+    vv = vh[:n].astype(np.int64)
+    if np.any(vv < c) or np.any(vv >= ncols):
+        return None
+    live = vv > c
+    if not live.any():
+        return "identity"
+    offs = vv - c
+    d = int(offs[live].max())
+    if d > _PATHBLEND_MAX_D:
+        return None
+    steps = c[live]
+    tg = vv[live]
+    if len(np.unique(tg)) != len(tg):
+        return None  # one-target contract violated
+    is_step = np.zeros(max(ncols, W * 32), bool)
+    is_step[steps] = True
+    ends = tg[~is_step[tg]]
+    if len(ends) > _PATHBLEND_K:
+        return None
+    # path end of every node by pointer doubling over i -> v[i]
+    f = np.arange(max(ncols, W * 32), dtype=np.int64)
+    f[steps] = tg
+    for _ in range(max(1, int(np.ceil(np.log2(max(n, 2)))))):
+        f = f[f]
+    # per-delta packed column masks (delta = 1..d_pow2, zero-padded)
+    d_pow = 1
+    while d_pow < d:
+        d_pow *= 2
+    masks = np.zeros((d_pow, W), np.uint32)
+    bitw = (np.uint32(1) << np.uint32(np.arange(32)))
+    for delta in range(1, d + 1):
+        cols = steps[offs[live] == delta]
+        bits = np.zeros(W * 32, bool)
+        bits[cols] = True
+        masks[delta - 1] = (bits.reshape(W, 32) * bitw).sum(
+            axis=1, dtype=np.uint32)
+    livemask = np.bitwise_or.reduce(masks, axis=0) if d else \
+        np.zeros(W, np.uint32)
+    # per-path node membership, packed (K, W) — the device builds the
+    # "min node > r" staircase from these via one reverse cummin (an
+    # explicit (nrows, K) index upload would cost ~1 MB over the ~20 MB/s
+    # dev tunnel and swamp the win; the packed masks are a few KB)
+    nodebits = np.zeros((_PATHBLEND_K, W), np.uint32)
+    ends_pad = np.full(_PATHBLEND_K, W * 32, np.int64)
+    for p, e in enumerate(ends):
+        nodes = steps[f[steps] == e]  # sorted ascending
+        bits = np.zeros(W * 32, bool)
+        bits[nodes] = True
+        nodebits[p] = (bits.reshape(W, 32) * bitw).sum(
+            axis=1, dtype=np.uint32)
+        ends_pad[p] = e
+    return (d_pow, jnp.asarray(masks), jnp.asarray(livemask),
+            jnp.asarray(nodebits),
+            jnp.asarray(ends_pad.astype(np.int32)))
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def _pathblend_impl(data: jnp.ndarray, masks: jnp.ndarray,
+                    livemask: jnp.ndarray, nodebits: jnp.ndarray,
+                    ends: jnp.ndarray, d: int) -> jnp.ndarray:
+    nrows, W = data.shape
+    NC = W * 32
+    K = nodebits.shape[0]
+    ext = jnp.concatenate(
+        [data, jnp.zeros((nrows, 1), jnp.uint32)], axis=1)
+    # staircase nx[r, p] = min path-p node > r (else the end column),
+    # computed at the WORD level: in-word candidates by bit masking +
+    # count-trailing-zeros, cross-word via a reverse cummin over only W
+    # elements (a cummin over the full NC-long axis is a remote-compile
+    # bomb — the r5 pluq bench stalled >25 min compiling it)
+    def _ctz32(x):
+        # popcount(~x & (x-1)); bit-parallel popcount, all elementwise
+        y = (~x) & (x - jnp.uint32(1))
+        y = y - ((y >> 1) & jnp.uint32(0x55555555))
+        y = (y & jnp.uint32(0x33333333)) + ((y >> 2) & jnp.uint32(0x33333333))
+        y = (y + (y >> 4)) & jnp.uint32(0x0F0F0F0F)
+        return ((y * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+    wa = jnp.arange(W, dtype=jnp.int32)
+    nzw = jnp.where(nodebits != 0, wa[None, :], jnp.int32(W))
+    sufw = jax.lax.cummin(nzw, axis=1, reverse=True)        # (K, W)
+    nextw = jnp.concatenate(
+        [sufw[:, 1:], jnp.full((K, 1), W, jnp.int32)], axis=1)
+    ctzw = _ctz32(nodebits)                                 # (K, W)
+    # cross-word fallback value per word: 32*nextw + ctz(word[nextw])
+    ctz_next = jnp.take_along_axis(
+        jnp.concatenate([ctzw, jnp.zeros((K, 1), jnp.int32)], axis=1),
+        nextw, axis=1)
+    cross = jnp.where(nextw < W, nextw * 32 + ctz_next, jnp.int32(NC))
+    # per (word, bit) grid: nodes strictly above bit j within the word
+    j = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    above = nodebits[:, :, None] & ~((jnp.uint32(2) << j) - jnp.uint32(1))
+    inword = wa[None, :, None] * 32 + _ctz32(above)
+    nx_all = jnp.where(above != 0, inword, cross[:, :, None])
+    nx_all = jnp.where(nx_all < NC, nx_all,
+                       ends[:, None, None]).reshape(K, NC)
+    if nrows <= NC:
+        nx = nx_all[:, :nrows].T                            # (nrows, K)
+    else:
+        nx = jnp.concatenate(
+            [nx_all, jnp.broadcast_to(ends[:, None], (K, nrows - NC))],
+            axis=1).T
+    # (1) blend: acc[r] = in[r, c + delta] on the delta-mask columns
+    acc = jnp.zeros_like(data)
+    for delta in range(1, d + 1):
+        z = (ext[:, :-1] >> delta) | (ext[:, 1:] << (32 - delta))
+        acc = acc | (z & masks[delta - 1][None, :])
+    # triangular row condition c > r, packed per (row, word)
+    r = jnp.arange(nrows, dtype=jnp.int32)[:, None]
+    wbase = jnp.arange(W, dtype=jnp.int32)[None, :] * 32
+    rel = jnp.clip(r + 1 - wbase, 0, 32)  # first kept bit within word
+    tri = jnp.where(rel >= 32, jnp.uint32(0),
+                    jnp.uint32(0xFFFFFFFF) << rel.astype(jnp.uint32))
+    sel = livemask[None, :] & tri
+    out = (data & ~sel) | (acc & sel)
+    # (2) path-end fix-up: bit r of column e <- in[r, nx[r, p]]
+    wsel = jnp.take_along_axis(ext, jnp.minimum(nx // 32, W), axis=1)
+    bits = (wsel >> (nx % 32).astype(jnp.uint32)) & jnp.uint32(1)
+    eb = (ends % 32).astype(jnp.uint32)
+    vals = bits << eb[None, :]                       # (nrows, K)
+    onehot = (jnp.arange(W, dtype=jnp.int32)[None, :]
+              == (ends // 32)[:, None])              # (K, W)
+    clear = jnp.sum(jnp.where(
+        onehot, (jnp.uint32(1) << eb)[:, None], jnp.uint32(0)),
+        axis=0, dtype=jnp.uint32)                    # distinct bits -> OR
+    oh_f = onehot.astype(jnp.float32)
+    hi = jnp.einsum("rk,kw->rw", (vals >> 16).astype(jnp.float32), oh_f,
+                    precision=jax.lax.Precision.HIGHEST)
+    lo = jnp.einsum("rk,kw->rw", (vals & 0xFFFF).astype(jnp.float32), oh_f,
+                    precision=jax.lax.Precision.HIGHEST)
+    fix = (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
+    return (out & ~clear[None, :]) | fix
+
+
+def _try_pathblend(m: BitMatrix, v: jnp.ndarray):
+    import numpy as np
+    vh = np.asarray(v)
+    plan = _pathblend_host(vh, m.nrows, m.ncols, m.data.shape[1])
+    if plan is None:
+        return None
+    if plan == "identity":
+        return mask_padding(BitMatrix(m.data, m.ncols))
+    d, masks, livemask, nodebits, ends = plan
+    out = _pathblend_impl(m.data, masks, livemask, nodebits, ends, d)
+    return mask_padding(BitMatrix(out, m.ncols))
+
+
 def apply_p_right_trans_tri(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
     """For i ascending: swap columns (i, v[i]) in rows [0, i) only
     (reference: mzd_apply_p_right_trans_tri, mzp.c:279-292).  Moves pivot
@@ -496,9 +673,17 @@ def apply_p_right_trans_tri(m: BitMatrix, v: jnp.ndarray) -> BitMatrix:
 
     Assumes the PLE-Q contract (v[i] >= i, at most one real swap targets
     any column); arbitrary swap arrays go through
-    apply_p_right_trans_tri_seq.  Dispatches to the banded transposed
-    formulation at production sizes and the row-chunked lane-gather model
-    below it (both validated cell-exactly against the sequential model)."""
+    apply_p_right_trans_tri_seq.  With a concrete (non-traced) v the
+    content-adaptive path-blend engine handles the common small-
+    displacement case in a few elementwise passes; otherwise dispatch to
+    the banded transposed formulation at production sizes and the
+    row-chunked lane-gather model below it (all validated cell-exactly
+    against the sequential model)."""
+    if not isinstance(v, jax.core.Tracer) and not isinstance(
+            m.data, jax.core.Tracer):
+        res = _try_pathblend(m, v)
+        if res is not None:
+            return res
     if min(m.nrows, m.ncols) >= 2 * _TRANS_TRI_BAND:
         return _trans_tri_banded(m, v)
     return _trans_tri_rowchunk(m, v)

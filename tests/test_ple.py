@@ -320,3 +320,95 @@ def test_apply_p_right_trans_tri_chunked(rng, monkeypatch):
     got = m4.to_numpy(perm.apply_p_right_trans_tri(A, jnp_arr(v)))
     want = m4.to_numpy(perm.apply_p_right_trans_tri_seq(A, jnp_arr(v)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_trans_tri_pathblend(rng):
+    """The content-adaptive path-blend engine (production fast path for
+    concrete PLE-Q arrays) must agree cell-exactly with the sequential
+    oracle: chains, multiple paths, non-square shapes, short v, identity,
+    and boundary displacements; ineligible inputs must return None."""
+    from m4ri_tpu.core import permutation as perm
+
+    def check(m_, n, v, expect_blend=True):
+        a = random_dense(rng, m_, n)
+        A = m4.from_numpy(a)
+        res = perm._try_pathblend(A, jnp_arr(np.asarray(v, np.int32)))
+        if not expect_blend:
+            assert res is None, (m_, n)
+            return
+        assert res is not None, (m_, n)
+        want = m4.to_numpy(perm.apply_p_right_trans_tri_seq(
+            A, jnp_arr(np.asarray(v, np.int32))))
+        np.testing.assert_array_equal(m4.to_numpy(res), want,
+                                      err_msg=f"{m_}x{n} v={list(v)[:12]}")
+
+    # identity
+    check(40, 40, np.arange(40))
+    # one long chain 0->1->...->k (displacement 1)
+    v = np.arange(64)
+    v[:20] = np.arange(1, 21)
+    check(64, 64, v)
+    # random PLE-Q arrays (mixed chains), various shapes incl. short v;
+    # few real swaps so the path count stays under _PATHBLEND_K (the
+    # many-path fallback is asserted separately below)
+    blended = 0
+    for m_, n in ((40, 40), (64, 40), (33, 70), (100, 100), (96, 200),
+                  (200, 96), (130, 130), (16, 24)):
+        for _ in range(4):
+            v = _random_ple_q(rng, min(n, 64), nreal=5)
+            disp = (v - np.arange(len(v)))[v > np.arange(len(v))].max(
+                initial=0)
+            if disp <= perm._PATHBLEND_MAX_D:
+                a = random_dense(rng, m_, n)
+                A = m4.from_numpy(a)
+                res = perm._try_pathblend(A, jnp_arr(v))
+                if res is not None:  # may fall back on path count
+                    blended += 1
+                    want = m4.to_numpy(perm.apply_p_right_trans_tri_seq(
+                        A, jnp_arr(v)))
+                    np.testing.assert_array_equal(
+                        m4.to_numpy(res), want, err_msg=f"{m_}x{n}")
+    assert blended >= 10, blended
+    # boundary displacement: exactly MAX_D blends, MAX_D+1 falls back
+    n = 2 * perm._PATHBLEND_MAX_D + 8
+    v = np.arange(n)
+    v[0] = perm._PATHBLEND_MAX_D
+    check(n, n, v)
+    v = np.arange(n)
+    v[0] = perm._PATHBLEND_MAX_D + 1
+    check(n, n, v, expect_blend=False)
+    # too many paths falls back
+    v = np.arange(64)
+    for j in range(perm._PATHBLEND_K + 1):
+        v[2 * j] = 2 * j + 1  # K+1 disjoint length-1 paths
+    check(64, 64, v, expect_blend=False)
+    # contract violations fall back
+    v = np.arange(32)
+    v[5] = 3  # v < i
+    check(32, 32, v, expect_blend=False)
+    v = np.arange(32)
+    v[1] = 9
+    v[2] = 9  # duplicate target
+    check(32, 32, v, expect_blend=False)
+
+
+def test_trans_tri_dispatch_uses_pathblend(rng, monkeypatch):
+    """apply_p_right_trans_tri with a concrete eligible v must take the
+    path-blend engine (and still match the oracle)."""
+    from m4ri_tpu.core import permutation as perm
+    called = {}
+    orig = perm._try_pathblend
+
+    def spy(m_, v_):
+        res = orig(m_, v_)
+        called["blend"] = res is not None
+        return res
+
+    monkeypatch.setattr(perm, "_try_pathblend", spy)
+    a = random_dense(rng, 100, 80)
+    v = _random_ple_q(rng, 60)
+    A = m4.from_numpy(a)
+    got = m4.to_numpy(perm.apply_p_right_trans_tri(A, jnp_arr(v)))
+    want = m4.to_numpy(perm.apply_p_right_trans_tri_seq(A, jnp_arr(v)))
+    np.testing.assert_array_equal(got, want)
+    assert "blend" in called
