@@ -52,14 +52,15 @@ def _pad_words(data: jnp.ndarray, nwords: int) -> jnp.ndarray:
 
 
 def _packed_l(data, q, r, m: int, rmax: int, n: int,
-              from_pivot_cols: bool) -> BitMatrix:
+              from_pivot_cols: bool, lcols=None) -> BitMatrix:
     """Unit lower-triangular m x m L, packed, from the in-place factor.
 
     from_pivot_cols: gather L[:, k] from column Q[k] via the packed
     transpose-gather (PLE layout); else L already sits in columns 0..rmax
-    (PLUQ)."""
+    (PLUQ).  ``lcols`` lets the caller pass a precomputed selection."""
     if from_pivot_cols:
-        lcols = select_pivot_cols(data, q, r, m, n, rmax)  # (m, w_rmax)
+        if lcols is None:
+            lcols = select_pivot_cols(data, q, r, m, n, rmax)  # (m, w_rmax)
     else:
         lcols = _pad_words(data, width_for(rmax))
     iidx = jnp.arange(m, dtype=jnp.int32)
@@ -69,13 +70,15 @@ def _packed_l(data, q, r, m: int, rmax: int, n: int,
 
 
 def _packed_upiv(top, q, r, rmax: int, n: int,
-                 from_pivot_cols: bool) -> BitMatrix:
+                 from_pivot_cols: bool, upiv=None) -> BitMatrix:
     """U restricted to its pivot columns, in slot space: rmax x rmax unit
     upper triangular (identity beyond the rank), packed.  Junk below the
     diagonal (the in-place L multipliers) is masked by the TRSM entry
-    point itself (triangular._clean_tri)."""
+    point itself (triangular._clean_tri).  ``upiv`` lets the caller pass
+    a precomputed selection."""
     if from_pivot_cols:
-        upiv = select_pivot_cols(top, q, r, rmax, n, rmax)  # (rmax, w_rmax)
+        if upiv is None:
+            upiv = select_pivot_cols(top, q, r, rmax, n, rmax)  # (rmax, w_rmax)
     else:
         upiv = _pad_words(top, width_for(rmax))
     k = jnp.arange(rmax, dtype=jnp.int32)
@@ -92,13 +95,25 @@ def _solve_from_factors(data, p, q, r, b: BitMatrix, m: int, n: int,
     kidx = jnp.arange(rmax, dtype=jnp.int32)
     iidx = jnp.arange(m, dtype=jnp.int32)
 
-    lfull = _packed_l(data, q, r, m, rmax, n, from_pivot_cols)
+    if from_pivot_cols:
+        # ONE pivot-column selection feeds both L (rows masked strictly
+        # below the slot diagonal) and U_piv (its top rmax rows): the
+        # two selects were the largest glue item at 32768/B=256 (~7 ms
+        # on-device each, benches/probe_solve_glue.py) and XLA does not
+        # CSE them through the data[:rmax] slice.
+        sel = select_pivot_cols(data, q, r, m, n, rmax)
+        lsrc, usrc = sel, sel[:rmax]
+    else:
+        lsrc = usrc = None
+
+    lfull = _packed_l(data, q, r, m, rmax, n, from_pivot_cols, lcols=lsrc)
     bp = apply_p_left(b, p)
     y = trsm_lower_left(lfull, bp)
     residual = y.data * (iidx >= r)[:, None].astype(jnp.uint32)
     consistent = jnp.all(residual == 0)
 
-    upiv = _packed_upiv(data[:rmax], q, r, rmax, n, from_pivot_cols)
+    upiv = _packed_upiv(data[:rmax], q, r, rmax, n, from_pivot_cols,
+                        upiv=usrc)
     ydata = y.data[:rmax] * (kidx < r)[:, None].astype(jnp.uint32)
     z = trsm_upper_left(upiv, BitMatrix(ydata, b.ncols))
     zmask = z.data * (kidx < r)[:, None].astype(jnp.uint32)
