@@ -47,7 +47,11 @@ def bench_mul(n: int = 4096, samples: int = 5):
     # The chain goes through the production mul() dispatch (Strassen above
     # 2x the cutoff, fused Pallas kernel below), i.e. exactly what a user
     # calling m4.mul gets.
-    @functools.partial(jax.jit, static_argnames="iters")
+    # donate the carry: deep-Strassen chains (65536 engages depth 3)
+    # reuse its buffer instead of allocating fresh HLO temporaries; each
+    # call passes a fresh copy since donation invalidates the operand
+    @functools.partial(jax.jit, static_argnames="iters",
+                       donate_argnums=(0,))
     def chain(a, b, iters):
         B = BitMatrix(b, n)
         for _ in range(iters):
@@ -69,7 +73,7 @@ def bench_mul(n: int = 4096, samples: int = 5):
     # compile); fetching only a row slice keeps the ~25 MB/s tunnel
     # readback negligible, and what remains cancels in the slope.
     def run(iters):
-        return jax.device_get(chain(a, b, iters)[:8])
+        return jax.device_get(chain(jnp.copy(a), b, iters)[:8])
 
     print(f"# compiling chains ({lo},{hi}) for n={n}...", file=sys.stderr)
     run(lo), run(hi)  # compile + warm both trip counts

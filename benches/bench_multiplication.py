@@ -53,14 +53,19 @@ def main():
     else:
         raise SystemExit(f"unknown engine {engine}")
 
-    @functools.partial(jax.jit, static_argnames="iters")
+    # the carry is DONATED so deep-Strassen chains reuse its buffer (the
+    # non-donated two-product chain at 65536 depth 3 OOMs on HLO temps);
+    # each call feeds a fresh copy since donation invalidates the operand
+    @functools.partial(jax.jit, static_argnames="iters",
+                       donate_argnums=(0,))
     def chain(a, b, iters):
         for _ in range(iters):
             a = core(a, b)
         return a
 
     lo, hi = (2, 12) if n < 16384 else (1, 4)
-    slope = run_marginal(lambda it: jax.device_get(chain(a, b, it)[:8]), lo, hi)
+    slope = run_marginal(
+        lambda it: jax.device_get(chain(jnp.copy(a), b, it)[:8]), lo, hi)
     bitops = 2.0 * n**3 / slope
     vs = (bitops / (2.0 * 4096**3 / REF_4096_S)) if n == 4096 else None
     # per-op counters: cost-analyse the marginal product (hi vs lo chain)

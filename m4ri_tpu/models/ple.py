@@ -548,11 +548,17 @@ def block_factor(a: BitMatrix, preserve_l: bool, nb: int | None = None,
     production path covered)."""
     import jax
     cfg = get_config()
-    if nb is None:
-        nb = cfg.panel_width
+    big = min(a.nrows, a.ncols) >= cfg.panel_width_big_min
+    nb_default = nb is None
+    if nb_default:
+        nb = cfg.panel_width_big if big else cfg.panel_width
     nb = max(WORD_BITS, _round_up(min(nb, max(WORD_BITS, a.ncols)), WORD_BITS))
     if window is None:
-        window = cfg.panel_window
+        if nb_default:
+            window = cfg.panel_window_big if big else cfg.panel_window
+        else:
+            # keep the measured 64-row search margin over a caller nb
+            window = nb + (cfg.panel_window - cfg.panel_width)
     # no point in a window taller than the padded matrix; never shorter
     # than the panel (all pivot slots) plus any restricted-search depth
     window = max(min(window, _round_up(a.nrows, nb)), nb + search_window)

@@ -184,6 +184,8 @@ def _levels_for(m: int, k: int, n: int, cutoff: int | None,
         cutoff = cfg.strassen_cutoff
     if max_levels is None:
         max_levels = cfg.strassen_max_levels
+        if min(m, k, n) >= cfg.strassen_depth3_min:
+            max_levels = max(max_levels, 3)
     levels = 0
     while (min(m, k, n) >> (levels + 1) >= cutoff and levels < max_levels):
         levels += 1

@@ -32,6 +32,13 @@ class Config:
     # 16384: 0.072 vs 0.073); before the rewrite the taller window made
     # 512 lose (0.107 vs 0.085 at 16384).
     panel_width: int = 512
+    # At large n the deeper Schur contraction and halved panel count win:
+    # tune_panel 32768 (round 5): nb=1024/W=1088 0.1570 s vs 512/576
+    # 0.1649; at 16384 the order flips (0.0698 vs 0.0603), so the wide
+    # panel engages only at min-dim >= panel_width_big_min.
+    panel_width_big: int = 1024
+    panel_window_big: int = 1088
+    panel_width_big_min: int = 32768
     # Block size for the MXU matmul k-dimension when the operands are too
     # large to unpack at once (reference analogue: __M4RI_MUL_BLOCKSIZE,
     # mzd.h:59 — babystep/giantstep blocking to keep tables L2 resident).
@@ -63,6 +70,13 @@ class Config:
     pallas_big_min: int = 4096
     # Strassen recursion depth cap (compile size grows 7^levels).
     strassen_max_levels: int = 2
+    # A third level engages at min-dim >= this (round 5, donated-carry
+    # chain slopes at 65536: depth 3 = 970 vs depth 2 = 886 Tbit-op/s;
+    # the round-3 OOM was the non-donated two-product chain, fixed by
+    # jax buffer donation in the callers that chain big products).  At
+    # 32768 depth 2 already wins (377 vs 298 direct) and depth 3's
+    # smaller 4096 base loses its kernel efficiency, so keep 65536.
+    strassen_depth3_min: int = 65536
     # dtype of the unpacked operands inside the fused Pallas mul kernels.
     # v5e's MXU runs int4 at ~2.2x the int8 rate (measured 820 vs 370
     # Top/s, benches/probe_int4.py), and the GF(2) operands are 0/1 with

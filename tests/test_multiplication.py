@@ -75,7 +75,8 @@ def test_mul_blocked_path(rng):
 
 
 @pytest.mark.parametrize("m,k,n,levels", [
-    (150, 200, 170, 1), (256, 256, 256, 2), (130, 140, 120, 2)])
+    (150, 200, 170, 1), (256, 256, 256, 2), (130, 140, 120, 2),
+    (260, 300, 280, 3)])
 def test_strassen_addmul_schedule(rng, m, k, n, levels):
     """The fused-accumulate Winograd schedule (strassen.c:443-491) must
     equal C + A*B for ragged shapes across recursion depths."""
@@ -124,3 +125,16 @@ def test_mul_sqr_dispatch(rng):
     want = strassen_mul_data(A.data, A.data, 200, 200, 200,
                              cutoff=16, max_levels=2)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_strassen_auto_depth3_threshold():
+    """The dispatch engages a third Strassen level only at min-dim >=
+    strassen_depth3_min (round-5 measurement: 970 vs 886 Tbit-op/s at
+    65536 with a donated carry; depth 2 still wins at 32768)."""
+    from m4ri_tpu.ops.strassen import _levels_for
+    from m4ri_tpu.utils.config import get_config
+    cfg = get_config()
+    big = cfg.strassen_depth3_min
+    assert _levels_for(big, big, big, None) == 3
+    assert _levels_for(big // 2, big // 2, big // 2, None) == 2
+    assert _levels_for(big, big // 2, big, None) == 2
