@@ -681,7 +681,13 @@ def ple(a: BitMatrix, nb: int | None = None):
 
 def pluq(a: BitMatrix, nb: int | None = None):
     """PLUQ decomposition (reference API: mzd_pluq = _mzd_ple +
-    mzd_apply_p_right_trans_tri, ple.c:50-60)."""
+    mzd_apply_p_right_trans_tri, ple.c:50-60).
+
+    Recorded negative (round 5): fusing the L-compression and the
+    path-blend tri-apply into one jit saved a dispatch but measured
+    WORSE on hardware (0.221-0.249 vs 0.216-0.220 s at 32768) — the
+    fused flow must host-sync on Q before dispatching ANY post work,
+    while the split flow dispatches the compression without waiting."""
     from ..core.permutation import apply_p_right_trans_tri
     m, p, q, r = ple(a, nb=nb)
     m = apply_p_right_trans_tri(m, q)
