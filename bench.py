@@ -84,8 +84,11 @@ def bench_mul(n: int = 4096, samples: int = 5):
         run(iters)
         return time.perf_counter() - t0
 
+    # 11 slope samples: the tunnel's RPC jitter puts individual medians
+    # anywhere in a ~±7% band (round-5 observed 661-752 across runs at
+    # 7 samples); more samples tighten the median at ~0.5 s/sample cost
     slopes = []
-    for _ in range(max(samples, 7)):
+    for _ in range(max(samples, 11)):
         t_lo = min(timed(lo) for _ in range(3))
         t_hi = min(timed(hi) for _ in range(3))
         slopes.append((t_hi - t_lo) / (hi - lo))
