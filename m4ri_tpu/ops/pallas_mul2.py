@@ -216,12 +216,15 @@ def gf2_mul_pallas_v2(a_data: jnp.ndarray, b_data: jnp.ndarray,
             # tiles), clamped to the padded output width
             tnw = min(_round_up(nw, 128), _round_up(tnw, 128))
     if tkw is None:
-        # Measured on v5e (benches/probe_tkw.py, int4, chain slopes):
-        # 4096: tkw 32/64/128 = 618/833/717 Tbit-op/s; 8192: 588/593/656/
-        # 696 for 32/64/128/256; 16384: 539/683/688 for 32/128/256.  The
-        # B cache is tk x tn at op_dtype width (int4: 16 MB at tkw=256,
-        # tnw=128), so int8 callers cap one notch lower.
-        tkw = (64 if kw <= 128 else 256) if op_dtype == "int4" \
+        # Measured on v5e.  Round-5 driver-grade sweep (probe_tkw2,
+        # 4..44-product chains, median of 11 slopes): 4096 tkw 32/64/128
+        # = 630.6/699.5/726.8 Tbit-op/s — the short-chain probe_tkw
+        # numbers that picked 64 in round 4b sit inside the tunnel's RPC
+        # jitter at this size.  8192+: 256 best (r4b sweep: 588/593/656/
+        # 696 for 32/64/128/256; 16384: 539/683/688 for 32/128/256).
+        # The B cache is tk x tn at op_dtype width (int4: 16 MB at
+        # tkw=256, tnw=128), so int8 callers cap one notch lower.
+        tkw = (128 if kw <= 128 else 256) if op_dtype == "int4" \
             else (64 if kw <= 128 else 128)
     else:
         tkw = _round_up(tkw, 8)  # Mosaic sublane granularity
